@@ -1,0 +1,190 @@
+"""The public API: ``compile(pipeline, config)``.
+
+TPU-native analog of the reference's pipeline compiler
+(``compilers/diffusion_pipeline_compiler.py:81-190``): takes a diffusion
+pipeline, finds its heavy submodels (UNet, ControlNet, VAE, text
+encoders, image encoder, optionally the scheduler step), and swaps their
+forward callables with lazily-compiled XLA executables.
+
+Two kinds of pipeline are accepted (duck-typed, like the reference's
+``hasattr`` probing at ``:88-124``):
+
+- **native** sfast_tpu pipelines (``sfast_tpu.pipelines.*``) whose
+  submodels are :class:`~sfast_tpu.models.module.Model` bundles
+  (pure ``apply`` + params pytree);
+- **torch diffusers** pipelines: converted first via
+  ``sfast_tpu.interop.diffusers_adapter.convert_pipeline`` (weights are
+  extracted from the torch modules into jnp arrays once; forwards are
+  re-implemented JAX functions mirroring the diffusers architectures —
+  SURVEY.md §7 design mapping row 1).
+
+Everything is lazy: ``compile`` itself compiles nothing; cost is paid on
+first call per input signature, mirroring the reference (``:81-124`` —
+"compile" only wires up wrappers).
+"""
+
+import logging
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.runtime.tracing import LazyCompiledFunction
+from sfast_tpu.runtime.executable_cache import global_executable_cache
+
+logger = logging.getLogger(__name__)
+
+# Submodel attributes probed on a pipeline, in reference order
+# (diffusion_pipeline_compiler.py:88-124).
+_SUBMODEL_ATTRS = (
+    "unet",
+    "controlnet",
+    "vae",
+    "text_encoder",
+    "text_encoder_2",
+    "image_encoder",
+)
+
+
+class CompiledModel:
+    """A compiled submodel: params pytree + per-signature executables.
+
+    Weights stay call-time *arguments* (``preserve_parameters=True``
+    semantics): ``update_params`` (LoRA hot-swap) replaces the pytree
+    without touching the executable cache — zero recompilation, the
+    TPU answer to the reference's in-place parameter copy
+    (``README.md:241-264``).
+    """
+
+    def __init__(self, model, config: Optional[CompilationConfig] = None, name=None):
+        config = config or CompilationConfig.Default()
+        self.model = model
+        self.config = config
+        self.name = name or type(model).__name__
+        self.params = model.params
+        apply_fn = model.apply_fn(config)
+        if config.freeze:
+            # freeze: weights become XLA constants (constant folding on,
+            # hot-swap off) — ≙ enable_jit_freeze/preserve_parameters=False
+            # (reference diffusion_pipeline_compiler.py:35-43).
+            frozen_params = self.params
+
+            def apply_frozen(*args, **kwargs):
+                return apply_fn(frozen_params, *args, **kwargs)
+
+            self._call = LazyCompiledFunction(
+                apply_frozen,
+                name=self.name,
+                mode="aot" if config.enable_aot_cache else "jit",
+            )
+            self._frozen = True
+        else:
+            self._call = LazyCompiledFunction(
+                apply_fn,
+                name=self.name,
+                mode="aot" if config.enable_aot_cache else "jit",
+            )
+            self._frozen = False
+        global_executable_cache().register(self.name, self._call)
+
+    def __call__(self, *args, **kwargs):
+        if self._frozen:
+            return self._call(*args, **kwargs)
+        return self._call(self.params, *args, **kwargs)
+
+    def warmup(self, *args, **kwargs):
+        if self._frozen:
+            self._call.warmup(*args, **kwargs)
+        else:
+            self._call.warmup(self.params, *args, **kwargs)
+        return self
+
+    def update_params(self, new_params) -> None:
+        """Hot-swap weights (LoRA switch). Structure and shapes must match;
+        a mismatch would silently force a recompile, so it is checked."""
+        if self._frozen:
+            raise RuntimeError(
+                "model was compiled with freeze=True; weights are baked "
+                "constants and cannot be hot-swapped (recompile with "
+                "preserve_parameters=True)"
+            )
+        old_struct = jax.tree_util.tree_structure(self.params)
+        new_struct = jax.tree_util.tree_structure(new_params)
+        if old_struct != new_struct:
+            raise ValueError(
+                f"param tree structure changed: {old_struct} != {new_struct}"
+            )
+        self.params = jax.tree_util.tree_map(
+            lambda old, new: jnp.asarray(new, old.dtype), self.params, new_params
+        )
+
+    @property
+    def cache_size(self) -> int:
+        return self._call.cache_size
+
+
+def compile_model(model, config=None, name=None) -> CompiledModel:
+    """Compile one submodel bundle (generic entry, used by all of the
+    ``compile_*`` helpers below)."""
+    return CompiledModel(model, config, name)
+
+
+def compile_unet(unet, config=None) -> CompiledModel:
+    """≙ reference ``compile_unet`` (:127-151): xformers→flash-attention,
+    memory_format→NHWC, lazy trace→lazy jit, CUDA graph→AOT cache are all
+    folded into the model's ``apply_fn(config)``."""
+    return compile_model(unet, config, name="unet")
+
+
+def compile_vae(vae, config=None) -> CompiledModel:
+    """≙ reference ``compile_vae`` (:154-190). The reference compiles the
+    VAE per-submodule and skips CUDA graphs for it (SDXL fp32-upcast memory
+    issue, :184-188); XLA executables have no capture-time memory pinning,
+    so the VAE takes the same path as everything else here."""
+    return compile_model(vae, config, name="vae")
+
+
+def _looks_like_torch_module(m) -> bool:
+    return hasattr(m, "state_dict") and hasattr(m, "named_parameters")
+
+
+def _is_native_model(m) -> bool:
+    return hasattr(m, "apply_fn") and hasattr(m, "params")
+
+
+def compile(pipeline: Any, config: Optional[CompilationConfig] = None):
+    """Compile a diffusion pipeline in place and return it.
+
+    Mirrors the reference top-level ``compile`` (:81-124): walks the
+    known submodel slots, wraps each; optionally wraps the scheduler's
+    ``scale_model_input``/``step`` (``trace_scheduler``).
+    """
+    config = config or CompilationConfig.Default()
+
+    needs_conversion = any(
+        _looks_like_torch_module(getattr(pipeline, a, None)) for a in _SUBMODEL_ATTRS
+    )
+    if needs_conversion:
+        from sfast_tpu.interop.diffusers_adapter import convert_pipeline
+
+        pipeline = convert_pipeline(pipeline, config)
+
+    for attr in _SUBMODEL_ATTRS:
+        sub = getattr(pipeline, attr, None)
+        if sub is None or isinstance(sub, CompiledModel):
+            continue
+        if _is_native_model(sub):
+            compiled = compile_model(sub, config, name=attr)
+            setattr(pipeline, attr, compiled)
+            logger.info("sfast_tpu: compiled %s", attr)
+
+    scheduler = getattr(pipeline, "scheduler", None)
+    if scheduler is not None and config.trace_scheduler:
+        from sfast_tpu.schedulers.compile import compile_scheduler
+
+        compile_scheduler(scheduler)
+
+    if hasattr(pipeline, "set_compilation_config"):
+        pipeline.set_compilation_config(config)
+    return pipeline

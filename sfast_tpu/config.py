@@ -1,0 +1,97 @@
+"""Compilation configuration.
+
+TPU-native analog of ``CompilationConfig.Default`` (reference
+``compilers/diffusion_pipeline_compiler.py:20-78``).  Same shape — one
+plain dataclass with hardware-probed defaults, no config files — with
+knobs mapped to their TPU meaning:
+
+==============================  ==========================================
+reference knob                  sfast_tpu knob / meaning here
+==============================  ==========================================
+memory_format (channels_last)   ``memory_format='NHWC'`` — TPU convs are
+                                natively NHWC; this is the default, not an
+                                opt-in (reference :29-34).
+enable_jit / enable_jit_freeze  ``enable_jit`` / ``freeze`` — freeze closes
+                                weights over as XLA constants for
+                                constant-folding, sacrificing LoRA hot-swap
+                                (reference :35-43 preserve_parameters).
+preserve_parameters             ``preserve_parameters`` — weights stay
+                                function *arguments* (donated buffers), the
+                                default; LoRA swap = overwrite buffers.
+enable_cnn_optimization         ``enable_cnn_optimization`` — fused
+                                conv+bias+act is XLA bread-and-butter; this
+                                gates the NHWC relayout + conv fusion hints.
+enable_fused_linear_geglu       ``enable_fused_linear_geglu`` — Pallas
+                                fused dual-matmul GEGLU kernel (≙ CUTLASS
+                                dual GEMM, reference :72).
+prefer_lowp_gemm                ``prefer_lowp_gemm`` — run matmuls in
+                                bfloat16 on the MXU (fp32 accumulate); maps
+                                to jax matmul precision (reference :44-48).
+enable_xformers                 ``enable_flash_attention`` — Pallas flash
+                                attention kernel (reference :49-55).
+enable_cuda_graph               ``enable_aot_cache`` — per-shape AOT
+                                executable cache, our replay mechanism
+                                (reference :56-63 ↔ cuda/graphs.py).
+enable_triton                   ``enable_pallas`` — gate all hand-written
+                                Pallas kernels at once (reference :64-70).
+trace_scheduler                 ``trace_scheduler`` — jit the scheduler
+                                step so latents never round-trip to host
+                                (reference :74-78).
+(new)                           ``fuse_denoising_loop`` — compile the whole
+                                N-step denoise loop as one executable via
+                                ``lax.fori_loop`` (TPU-only win; disables
+                                per-step host callbacks).
+(new)                           ``batch_buckets`` — pad leading batch dims
+                                up to these buckets to bound compile count.
+(new)                           ``cache_dir`` — persistent executable cache.
+(new)                           ``mesh`` / ``sharding_rules`` — optional
+                                multi-chip sharding (SURVEY.md §2.3: absent
+                                in the reference, required for capability
+                                parity at scale).
+==============================  ==========================================
+"""
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _default_lowp() -> bool:
+    """bf16 matmuls are the native fast path on every TPU with an MXU.
+
+    Analog of the reference probing for tensor cores
+    (``utils/gpu_device.py:4-15`` feeding ``CompilationConfig:29-34``).
+    """
+    return True
+
+
+@dataclasses.dataclass
+class CompilationConfig:
+    """One plain dataclass of knobs; ``CompilationConfig.Default()`` mirrors
+    the reference's ``CompilationConfig.Default`` spelling."""
+
+    memory_format: str = "NHWC"  # 'NHWC' (TPU-native) or 'NCHW'
+    enable_jit: bool = True
+    freeze: bool = False  # ≙ enable_jit_freeze + preserve_parameters=False
+    preserve_parameters: bool = True
+    enable_cnn_optimization: bool = True
+    enable_fused_linear_geglu: bool = True
+    prefer_lowp_gemm: bool = dataclasses.field(default_factory=_default_lowp)
+    enable_flash_attention: bool = True
+    enable_aot_cache: bool = True
+    enable_pallas: bool = True
+    trace_scheduler: bool = True
+    fuse_denoising_loop: bool = False
+    compute_dtype: Any = "bfloat16"
+    param_dtype: Any = "bfloat16"
+    batch_buckets: Optional[Sequence[int]] = None
+    cache_dir: Optional[str] = None
+    # Multi-chip (beyond reference parity, SURVEY.md §7 stage 7):
+    mesh: Any = None  # a jax.sharding.Mesh, or None for single chip
+    sharding_rules: Optional[Tuple[Tuple[str, Any], ...]] = None
+
+    @staticmethod
+    def Default() -> "CompilationConfig":
+        return CompilationConfig()
+
+    def replace(self, **kw) -> "CompilationConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,185 @@
+"""Lazy compilation — the trace/compile engine.
+
+TPU-native analog of ``lazy_trace`` (reference ``jit/trace_helper.py:33-72``)
+fused with the CUDA-graph shape-dispatch cache
+(``cuda/graphs.py:16-51``): on TPU a single mechanism — one AOT-compiled
+XLA executable per input-shape signature — covers both the "trace once"
+and the "capture per shape, replay" roles.
+
+Key properties carried over from the reference:
+
+- **lazy**: nothing compiles until the first call with real inputs
+  (``trace_helper.py:42-64``);
+- **double-checked locking** around the compile cache
+  (``trace_helper.py:34,43-63``);
+- **compile-event logging** (``trace_helper.py:50``, ``cuda/graphs.py:37-39``);
+- **weights as arguments**: when ``params`` is given, it is passed into
+  the jitted function on every call instead of being closed over, so
+  in-place weight updates (LoRA hot-swap) never retrace — the analog of
+  ``preserve_parameters=True`` (``diffusion_pipeline_compiler.py:35-39``).
+  ``freeze=True`` closes params over as compile-time constants instead,
+  enabling XLA constant folding at the cost of hot-swap
+  (≙ ``enable_jit_freeze``).
+
+The entire ``flat_tensors`` subsystem of the reference (334 LoC,
+``utils/flat_tensors.py``) collapses into jax pytrees: arbitrary
+args/kwargs structures are natively supported by ``jax.jit``.
+"""
+
+import logging
+import threading
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+
+from sfast_tpu.runtime.signature import call_signature
+
+logger = logging.getLogger(__name__)
+
+
+class LazyCompiledFunction:
+    """A callable that lazily AOT-compiles one XLA executable per
+    input-shape signature and dispatches to it.
+
+    Steady state (cache hit) is: signature tuple build + dict lookup +
+    executable call — the analog of ``tree_copy_ + graph.replay()``
+    (reference ``cuda/graphs.py:147-157``), except XLA executables manage
+    their own I/O buffers so no static-tensor copy discipline is needed.
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        *,
+        static_argnums: Sequence[int] = (),
+        static_argnames: Sequence[str] = (),
+        donate_argnums: Sequence[int] = (),
+        name: Optional[str] = None,
+        mode: str = "aot",  # 'aot' | 'jit'
+        in_shardings: Any = None,
+        out_shardings: Any = None,
+    ):
+        self._fn = fn
+        self._name = name or getattr(fn, "__name__", "fn")
+        self._mode = mode
+        self._lock = threading.Lock()
+        self._cache = {}
+        self._static_argnums = frozenset(static_argnums)
+        self._static_argnames = frozenset(static_argnames)
+        jit_kwargs = {}
+        if static_argnums:
+            jit_kwargs["static_argnums"] = tuple(static_argnums)
+        if static_argnames:
+            jit_kwargs["static_argnames"] = tuple(static_argnames)
+        if donate_argnums:
+            jit_kwargs["donate_argnums"] = tuple(donate_argnums)
+        if in_shardings is not None:
+            jit_kwargs["in_shardings"] = in_shardings
+        if out_shardings is not None:
+            jit_kwargs["out_shardings"] = out_shardings
+        self._jitted = jax.jit(fn, **jit_kwargs)
+
+    @property
+    def cache_size(self) -> int:
+        return len(self._cache)
+
+    def clear_cache(self) -> None:
+        with self._lock:
+            self._cache.clear()
+
+    def warmup(self, *args, **kwargs):
+        """Compile for this signature without running (≙ CUDA-graph warmup,
+        reference ``cuda/graphs.py:87-92``, minus the 3 eager iterations —
+        XLA needs none)."""
+        self._get_executable(args, kwargs)
+        return self
+
+    def _get_executable(self, args, kwargs):
+        key = call_signature(args, kwargs, shape_sensitive=True)
+        exe = self._cache.get(key)
+        if exe is None:
+            with self._lock:
+                exe = self._cache.get(key)
+                if exe is None:
+                    logger.info(
+                        "sfast_tpu: compiling %s for new input signature "
+                        "(cache size %d)",
+                        self._name,
+                        len(self._cache),
+                    )
+                    lowered = self._jitted.lower(*args, **kwargs)
+                    exe = lowered.compile()
+                    self._cache[key] = exe
+        return exe
+
+    def __call__(self, *args, **kwargs):
+        if self._mode == "jit":
+            return self._jitted(*args, **kwargs)
+        exe = self._get_executable(args, kwargs)
+        # Static args are baked into the executable at lowering time; the
+        # AOT call takes only the dynamic (traced) arguments.
+        if self._static_argnums or self._static_argnames:
+            args = tuple(
+                a for i, a in enumerate(args) if i not in self._static_argnums
+            )
+            kwargs = {
+                k: v for k, v in kwargs.items() if k not in self._static_argnames
+            }
+        return exe(*args, **kwargs)
+
+    def lowered_text(self, *args, **kwargs) -> str:
+        """StableHLO of the lowered function — debugging aid (≙ the
+        reference's AOT graph printer, ``utils/aot_printer.py:36-44``)."""
+        return self._jitted.lower(*args, **kwargs).as_text()
+
+
+def lazy_jit(
+    fn: Optional[Callable] = None,
+    *,
+    static_argnums: Sequence[int] = (),
+    static_argnames: Sequence[str] = (),
+    donate_argnums: Sequence[int] = (),
+    name: Optional[str] = None,
+    mode: str = "aot",
+    in_shardings: Any = None,
+    out_shardings: Any = None,
+) -> Any:
+    """Decorator form: ``lazy_jit(fn)`` or ``@lazy_jit(static_argnums=...)``."""
+    if fn is None:
+        return partial(
+            lazy_jit,
+            static_argnums=static_argnums,
+            static_argnames=static_argnames,
+            donate_argnums=donate_argnums,
+            name=name,
+            mode=mode,
+            in_shardings=in_shardings,
+            out_shardings=out_shardings,
+        )
+    return LazyCompiledFunction(
+        fn,
+        static_argnums=static_argnums,
+        static_argnames=static_argnames,
+        donate_argnums=donate_argnums,
+        name=name,
+        mode=mode,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+    )
+
+
+def freeze_over(fn: Callable, params) -> Callable:
+    """Close ``params`` over as compile-time constants (``freeze=True``).
+
+    XLA will constant-fold through the weights; any later weight update
+    requires re-wrapping + recompiling — the exact trade the reference
+    documents for ``preserve_parameters=False``
+    (``diffusion_pipeline_compiler.py:35-43``).
+    """
+
+    def frozen(*args, **kwargs):
+        return fn(params, *args, **kwargs)
+
+    frozen.__name__ = f"frozen_{getattr(fn, '__name__', 'fn')}"
+    return frozen

@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so sharding paths are exercised
+without TPU hardware (SURVEY.md §4 takeaway: unlike the reference, which
+is untestable without a GPU, everything here must be CPU-testable —
+Pallas kernels via interpret mode).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Don't pollute the persistent cache with tiny test executables.
+os.environ.setdefault("SFAST_TPU_DISABLE_CACHE", "1")
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return jax.random.key(0)

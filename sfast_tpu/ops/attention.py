@@ -1,0 +1,74 @@
+"""Attention dispatch — the ``sfast_xformers::memory_efficient_attention``
+analog (reference ``libs/xformers/xformers_attention.py:51-63``).
+
+Two backends:
+
+- ``flash``: the Pallas blockwise kernel (``flash_attention.py``) — O(S)
+  memory, the default on TPU for long sequences;
+- ``xla``: plain ``softmax(q·kᵀ)·v`` in jnp — XLA fuses this well for
+  short sequences (cross-attention kv=77, CLIP seq=77) where flash block
+  machinery is pure overhead.
+
+The dispatcher picks per-shape, mirroring how the reference routes small
+cases to aten and big ones to xformers/Triton
+(``triton/torch_ops.py:258-296`` fallback discipline).
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfast_tpu.ops.flash_attention import flash_attention
+
+# Below this q-length the XLA path wins (score matrix fits easily and
+# avoids kernel launch/pipeline setup).
+_FLASH_MIN_Q = 1024
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale=None,
+    causal: bool = False,
+) -> jax.Array:
+    """Reference/materializing attention over (B, H, S, D)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where(col <= row, s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    backend: Optional[str] = None,  # None=auto | 'flash' | 'xla'
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention over (batch, heads, seq, head_dim)."""
+    if backend is None:
+        use_flash = q.shape[-2] >= _FLASH_MIN_Q
+        backend = "flash" if use_flash else "xla"
+    if backend == "flash":
+        return flash_attention(
+            q, k, v, scale=scale, causal=causal, interpret=interpret
+        )
+    if backend == "xla":
+        return xla_attention(q, k, v, scale=scale, causal=causal)
+    raise ValueError(f"unknown attention backend: {backend}")

@@ -1,0 +1,71 @@
+"""NHWC convolution (+fused bias/activation).
+
+The reference needs ~1500 lines of cuDNN v7 plumbing and a Triton
+implicit-GEMM kernel with a 16-config autotuner to get fused
+conv+bias+act (``csrc/operators/cudnn/cudnn_convolution_impl.cc``,
+``triton/ops/conv.py``).  On TPU, ``lax.conv_general_dilated`` in NHWC is
+lowered straight onto the MXU by XLA, which also fuses the bias add and
+activation into the output stage — so this op is a thin, named wrapper
+that fixes layout (NHWC/HWIO), accumulation dtype (f32), and the fused
+epilogue, giving the pass pipeline a single target like the reference's
+``sfast::cudnn_convolution_bias_add_activation``.
+"""
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: Union[int, Sequence[int]] = 1,
+    padding: Union[int, str, Sequence] = 0,
+    dilation: Union[int, Sequence[int]] = 1,
+    groups: int = 1,
+    act: Optional[str] = None,
+    residual: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``act(conv(x, w) + b + residual)`` — x: (N,H,W,Cin), w: (kh,kw,Cin/g,Cout).
+
+    Covers the reference's 8 fused cuDNN ops
+    (conv_bias{,_add}{,_sigmoid,_relu,_tanh} —
+    ``csrc/operators/cudnn/cudnn_convolution.cpp:13-38``) with one signature.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "sigmoid":
+        y = jax.nn.sigmoid(y)
+    elif act == "tanh":
+        y = jnp.tanh(y)
+    elif act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act is not None:
+        raise ValueError(f"unknown activation: {act}")
+    return y.astype(x.dtype)

@@ -1,0 +1,192 @@
+"""Pallas TPU flash attention (forward).
+
+The hand-written attention kernel of sfast_tpu — the role xformers'
+``memory_efficient_attention`` plays in the reference
+(``libs/xformers/xformers_attention.py:26-48``): O(seq) memory, blockwise
+online softmax, never materializing the (Sq, Sk) score matrix in HBM.
+
+Design (TPU-first, not a Triton translation):
+
+- grid ``(batch*heads, q_blocks, k_blocks)`` with the k-axis innermost —
+  TPU grids execute sequentially, so VMEM scratch (running max ``m``,
+  denominator ``l``, accumulator ``acc``) carries across k iterations and
+  the output block is written once on the last k step;
+- the MXU does both matmuls per block (``q·kᵀ`` and ``p·v``) in bf16 with
+  f32 accumulation (``preferred_element_type``);
+- head_dim is zero-padded to a lane multiple (128) *outside* the kernel:
+  zero q/k columns do not change scores, zero v columns are sliced off;
+- kv padding is masked with -inf *inside* the kernel using the static
+  real kv length (shapes are static under jit, so the mask is free);
+- optional causal masking for text encoders (CLIP); the diffusion UNet
+  path is non-causal.
+
+Numerics match ``jax.nn.softmax(q·kᵀ)·v`` to bf16 tolerance — asserted in
+``tests/ops/test_attention.py`` with the tolerance discipline of the
+reference's operator tests (``tests/operators/*`` rtol/atol 1e-3..3e-2).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    kv_len: int,
+    block_k: int,
+    causal: bool,
+    block_q: int,
+):
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_k)
+
+    # Mask padded kv columns (static kv_len → compile-time-known bound).
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col < kv_len
+    if causal:
+        row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scratch[:]  # (block_q, LANES), lane-replicated
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+    p = jnp.exp(s - m_next[:, :1])  # (block_q, block_k)
+    alpha = jnp.exp(m_prev - m_next)  # (block_q, LANES)
+    l_next = l_prev * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+
+    m_scratch[:] = m_next
+    l_scratch[:] = l_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, d)
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        # l is lane-replicated; take lane 0.
+        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale=None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blockwise attention over (B, H, S, D) tensors.
+
+    ``softmax(scale * q @ kᵀ) @ v`` with O(S) memory.
+    """
+    batch, heads, sq, d = q.shape
+    _, _, sk, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    out_dtype = q.dtype
+
+    q = (q * jnp.asarray(scale, q.dtype)).reshape(batch * heads, sq, d)
+    k = k.reshape(batch * heads, sk, d)
+    v = v.reshape(batch * heads, sk, d)
+
+    # Pad head dim to a lane multiple; zero columns are inert.
+    dp = max(_round_up(d, LANES), LANES)
+    if dp != d:
+        padd = [(0, 0), (0, 0), (0, dp - d)]
+        q, k, v = (jnp.pad(t, padd) for t in (q, k, v))
+
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, LANES))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    if sq_p != sq:
+        q = jnp.pad(q, [(0, 0), (0, sq_p - sq), (0, 0)])
+    if sk_p != sk:
+        k = jnp.pad(k, [(0, 0), (0, sk_p - sk), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, sk_p - sk), (0, 0)])
+
+    grid = (batch * heads, sq_p // block_q, sk_p // block_k)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        kv_len=sk,
+        block_k=block_k,
+        causal=causal,
+        block_q=block_q,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * heads, sq_p, dp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # denominator l
+            pltpu.VMEM((block_q, dp), jnp.float32),  # output accumulator
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+    out = out[:, :sq, :d]
+    return out.reshape(batch, heads, sq, d)

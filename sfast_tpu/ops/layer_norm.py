@@ -1,0 +1,32 @@
+"""LayerNorm (last-dim) with f32 accumulation.
+
+Counterpart of the reference's Triton LayerNorm
+(``triton/ops/layer_norm.py:51-168``).  On TPU a last-dim layernorm is a
+lane-dimension reduction XLA fuses into one pass, so the default is the
+jnp formulation; it exists as a named op so transformer blocks share one
+numerically-consistent implementation (and so a Pallas variant can be
+swapped in behind the same signature if profiling ever justifies it).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(
+    x: jax.Array,
+    gamma: Optional[jax.Array] = None,
+    beta: Optional[jax.Array] = None,
+    *,
+    eps: float = 1e-5,
+) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma.astype(jnp.float32)
+    if beta is not None:
+        y = y + beta.astype(jnp.float32)
+    return y.astype(x.dtype)

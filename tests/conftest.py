@@ -8,7 +8,11 @@ Pallas kernels via interpret mode).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pre-imports jax at interpreter startup
+# (sitecustomize) with JAX_PLATFORMS=axon (the tunneled TPU), so env vars
+# alone are too late — switch platform via jax.config before any backend
+# is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +23,9 @@ os.environ.setdefault("SFAST_TPU_DISABLE_CACHE", "1")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 @pytest.fixture(scope="session")

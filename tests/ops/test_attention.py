@@ -1,0 +1,100 @@
+"""Flash-attention numerics vs the materializing reference
+(tolerances per reference tests/operators/* discipline: rtol/atol
+1e-3..3e-2 for low precision)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfast_tpu.ops.attention import dot_product_attention, xla_attention
+from sfast_tpu.ops.flash_attention import flash_attention
+
+
+def _ref_attention(q, k, v, scale=None, causal=False):
+    # f64-ish reference in f32 numpy
+    q, k, v = (np.asarray(t, np.float32) for t in (q, k, v))
+    d = q.shape[-1]
+    scale = scale or 1.0 / math.sqrt(d)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if causal:
+        sq, sk = s.shape[-2:]
+        mask = np.tril(np.ones((sq, sk), bool))
+        s = np.where(mask, s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d",
+    [
+        (1, 2, 256, 256, 64),  # self-attention, aligned
+        (1, 2, 256, 77, 40),  # cross-attention: ragged kv + odd head dim (SD1.5)
+        (2, 1, 130, 130, 80),  # non-multiple seq lens
+        (1, 1, 64, 64, 160),  # SD1.5 mid-block head dim
+    ],
+)
+def test_flash_matches_reference(b, h, sq, sk, d):
+    keys = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(keys[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, h, sk, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h, sk, d), jnp.float32)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_causal():
+    keys = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(keys[0], (1, 2, 128, 64), jnp.float32)
+    k = jax.random.normal(keys[1], (1, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(keys[2], (1, 2, 128, 64), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, interpret=True, block_q=64, block_k=64)
+    ref = _ref_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bf16():
+    keys = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(keys[0], (1, 1, 128, 64), jnp.bfloat16)
+    k = jax.random.normal(keys[1], (1, 1, 128, 64), jnp.bfloat16)
+    v = jax.random.normal(keys[2], (1, 1, 128, 64), jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, rtol=3e-2, atol=3e-2
+    )
+
+
+def test_xla_attention_matches_reference():
+    keys = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(keys[0], (2, 4, 77, 64), jnp.float32)
+    k = jax.random.normal(keys[1], (2, 4, 77, 64), jnp.float32)
+    v = jax.random.normal(keys[2], (2, 4, 77, 64), jnp.float32)
+    out = xla_attention(q, k, v, causal=True)
+    ref = _ref_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_dispatcher_backends_agree():
+    keys = jax.random.split(jax.random.key(4), 3)
+    q = jax.random.normal(keys[0], (1, 2, 128, 64), jnp.float32)
+    k = jax.random.normal(keys[1], (1, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(keys[2], (1, 2, 128, 64), jnp.float32)
+    a = dot_product_attention(q, k, v, backend="xla")
+    b = dot_product_attention(q, k, v, backend="flash", interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_custom_scale():
+    keys = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(keys[0], (1, 1, 64, 32), jnp.float32)
+    k = jax.random.normal(keys[1], (1, 1, 64, 32), jnp.float32)
+    v = jax.random.normal(keys[2], (1, 1, 64, 32), jnp.float32)
+    out = flash_attention(q, k, v, scale=0.5, interpret=True, block_q=64, block_k=64)
+    ref = _ref_attention(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

@@ -41,6 +41,7 @@ _SUBMODEL_ATTRS = (
     "unet",
     "controlnet",
     "vae",
+    "vae_encode",
     "text_encoder",
     "text_encoder_2",
     "image_encoder",

@@ -1,0 +1,392 @@
+"""Shared functional building blocks for the diffusion model families.
+
+The reference compiles *through* HuggingFace diffusers' torch modules and
+inherits every architecture for free; a TPU-native rebuild re-implements
+the forward passes as pure JAX functions (SURVEY.md §7 "hard parts":
+weight extraction / architecture mirroring).  These blocks mirror
+diffusers' module semantics (ResnetBlock2D, Transformer2DModel,
+BasicTransformerBlock, Attention, Up/Downsample2D, timestep embeddings)
+while being TPU-idiomatic:
+
+- data layout NHWC (native for TPU convs);
+- linear weights (in, out), conv kernels HWIO — converters transpose from
+  torch layouts once at load;
+- normalizations accumulate in f32, matmuls run bf16→f32 on the MXU;
+- attention routes through :func:`sfast_tpu.ops.dot_product_attention`
+  (Pallas flash kernel or XLA, per config);
+- the GEGLU feed-forward routes through the fused Pallas dual-matmul.
+
+Every ``init_*`` returns the same pytree structure the matching
+``*_fwd`` consumes — the single source of truth for the weight
+converters in ``sfast_tpu.interop``.
+"""
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfast_tpu.ops.attention import dot_product_attention
+from sfast_tpu.ops.conv import conv2d
+from sfast_tpu.ops.geglu import linear_geglu
+from sfast_tpu.ops.group_norm import group_norm
+from sfast_tpu.ops.layer_norm import layer_norm
+from sfast_tpu.ops.linear import linear
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (shape spec; real weights come from the converters)
+# ---------------------------------------------------------------------------
+
+
+def init_linear(rng, din: int, dout: int, *, bias: bool = True, dtype=jnp.bfloat16):
+    k1, _ = jax.random.split(rng)
+    p = {"w": jax.random.normal(k1, (din, dout), dtype) * (1.0 / math.sqrt(din))}
+    if bias:
+        p["b"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def init_conv(rng, kh: int, kw: int, cin: int, cout: int, *, dtype=jnp.bfloat16):
+    k1, _ = jax.random.split(rng)
+    fan_in = kh * kw * cin
+    return {
+        "w": jax.random.normal(k1, (kh, kw, cin, cout), dtype)
+        * (1.0 / math.sqrt(fan_in)),
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def init_norm(c: int, *, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Timestep embeddings (diffusers Timesteps + TimestepEmbedding)
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """diffusers ``Timesteps`` semantics (SD: flip_sin_to_cos=True, shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * t.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, [(0, 0), (0, 1)])
+    return out
+
+
+def init_time_embedding(rng, cin: int, time_dim: int, dtype=jnp.bfloat16) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "linear_1": init_linear(k1, cin, time_dim, dtype=dtype),
+        "linear_2": init_linear(k2, time_dim, time_dim, dtype=dtype),
+    }
+
+
+def time_embedding_fwd(p: Params, t_emb: jax.Array) -> jax.Array:
+    h = linear(t_emb, p["linear_1"]["w"], p["linear_1"].get("b"), act="silu")
+    return linear(h, p["linear_2"]["w"], p["linear_2"].get("b"))
+
+
+# ---------------------------------------------------------------------------
+# ResnetBlock2D
+# ---------------------------------------------------------------------------
+
+
+def init_resnet_block(
+    rng, cin: int, cout: int, temb_dim: Optional[int], *, dtype=jnp.bfloat16
+) -> Params:
+    ks = jax.random.split(rng, 4)
+    p = {
+        "norm1": init_norm(cin),
+        "conv1": init_conv(ks[0], 3, 3, cin, cout, dtype=dtype),
+        "norm2": init_norm(cout),
+        "conv2": init_conv(ks[1], 3, 3, cout, cout, dtype=dtype),
+    }
+    if temb_dim is not None:
+        p["time_emb_proj"] = init_linear(ks[2], temb_dim, cout, dtype=dtype)
+    if cin != cout:
+        p["conv_shortcut"] = init_conv(ks[3], 1, 1, cin, cout, dtype=dtype)
+    return p
+
+
+def resnet_block_fwd(
+    p: Params,
+    x: jax.Array,
+    temb: Optional[jax.Array] = None,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    gn_backend: Optional[str] = None,
+    output_scale: float = 1.0,
+) -> jax.Array:
+    """diffusers ResnetBlock2D: GN+SiLU → conv → (+temb) → GN+SiLU → conv
+    → +skip.  The GN+SiLU pairs are the fused Pallas kernel."""
+    h = group_norm(
+        x, p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, eps=eps,
+        act="silu", backend=gn_backend,
+    )
+    h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], padding=1)
+    if temb is not None and "time_emb_proj" in p:
+        te = linear(
+            jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
+            p["time_emb_proj"]["w"],
+            p["time_emb_proj"].get("b"),
+        )
+        h = h + te[:, None, None, :].astype(h.dtype)
+    h = group_norm(
+        h, p["norm2"]["scale"], p["norm2"]["bias"], groups=groups, eps=eps,
+        act="silu", backend=gn_backend,
+    )
+    h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"], padding=1)
+    skip = x
+    if "conv_shortcut" in p:
+        skip = conv2d(x, p["conv_shortcut"]["w"], p["conv_shortcut"]["b"])
+    out = (skip.astype(jnp.float32) + h.astype(jnp.float32)) / output_scale
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (multi-head, self or cross)
+# ---------------------------------------------------------------------------
+
+
+def init_attention(
+    rng,
+    dim: int,
+    heads: int,
+    *,
+    context_dim: Optional[int] = None,
+    qkv_bias: bool = False,
+    dtype=jnp.bfloat16,
+) -> Params:
+    ks = jax.random.split(rng, 4)
+    ctx = context_dim or dim
+    return {
+        "to_q": init_linear(ks[0], dim, dim, bias=qkv_bias, dtype=dtype),
+        "to_k": init_linear(ks[1], ctx, dim, bias=qkv_bias, dtype=dtype),
+        "to_v": init_linear(ks[2], ctx, dim, bias=qkv_bias, dtype=dtype),
+        "to_out": init_linear(ks[3], dim, dim, bias=True, dtype=dtype),
+    }
+
+
+def attention_fwd(
+    p: Params,
+    x: jax.Array,
+    context: Optional[jax.Array] = None,
+    *,
+    heads: int,
+    causal: bool = False,
+    attn_backend: Optional[str] = None,
+    extra_kv: Optional[tuple] = None,
+    extra_scale: float = 1.0,
+) -> jax.Array:
+    """x: (B, S, D).  ``extra_kv`` is the IP-Adapter hook: an additional
+    (k, v) projected from image embeddings whose attention output is added
+    with ``extra_scale`` (mirrors the community IP-Adapter attn processor
+    the reference supports via its examples)."""
+    b, s, d = x.shape
+    ctx = x if context is None else context
+    q = linear(x, p["to_q"]["w"], p["to_q"].get("b"))
+    k = linear(ctx, p["to_k"]["w"], p["to_k"].get("b"))
+    v = linear(ctx, p["to_v"]["w"], p["to_v"].get("b"))
+    dh = d // heads
+
+    def split_heads(t):
+        return t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+
+    out = dot_product_attention(
+        split_heads(q), split_heads(k), split_heads(v),
+        causal=causal, backend=attn_backend,
+    )
+    if extra_kv is not None:
+        ek, ev = extra_kv
+        ip = dot_product_attention(
+            split_heads(q), split_heads(ek), split_heads(ev),
+            backend=attn_backend,
+        )
+        out = out + extra_scale * ip
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return linear(out, p["to_out"]["w"], p["to_out"].get("b"))
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward (GEGLU) and BasicTransformerBlock
+# ---------------------------------------------------------------------------
+
+
+def init_feed_forward(rng, dim: int, mult: int = 4, *, dtype=jnp.bfloat16) -> Params:
+    k1, k2 = jax.random.split(rng)
+    inner = dim * mult
+    return {
+        "proj": init_linear(k1, dim, inner * 2, dtype=dtype),  # GEGLU fused weight
+        "out": init_linear(k2, inner, dim, dtype=dtype),
+    }
+
+
+def feed_forward_fwd(
+    p: Params, x: jax.Array, *, geglu_backend: Optional[str] = None
+) -> jax.Array:
+    h = linear_geglu(x, p["proj"]["w"], p["proj"].get("b"), backend=geglu_backend)
+    return linear(h, p["out"]["w"], p["out"].get("b"))
+
+
+def init_transformer_block(
+    rng,
+    dim: int,
+    heads: int,
+    context_dim: int,
+    *,
+    dtype=jnp.bfloat16,
+) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        "norm1": init_norm(dim),
+        "attn1": init_attention(ks[0], dim, heads, dtype=dtype),
+        "norm2": init_norm(dim),
+        "attn2": init_attention(
+            ks[1], dim, heads, context_dim=context_dim, dtype=dtype
+        ),
+        "norm3": init_norm(dim),
+        "ff": init_feed_forward(ks[2], dim, dtype=dtype),
+    }
+
+
+def transformer_block_fwd(
+    p: Params,
+    x: jax.Array,
+    context: jax.Array,
+    *,
+    heads: int,
+    attn_backend: Optional[str] = None,
+    geglu_backend: Optional[str] = None,
+    ip_extra_kv: Optional[tuple] = None,
+    ip_scale: float = 1.0,
+) -> jax.Array:
+    """diffusers BasicTransformerBlock (pre-LN): self-attn, cross-attn,
+    GEGLU feed-forward, all residual."""
+    h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+    x = x + attention_fwd(p["attn1"], h, heads=heads, attn_backend=attn_backend)
+    h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
+    x = x + attention_fwd(
+        p["attn2"], h, context, heads=heads, attn_backend=attn_backend,
+        extra_kv=ip_extra_kv, extra_scale=ip_scale,
+    )
+    h = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"])
+    x = x + feed_forward_fwd(p["ff"], h, geglu_backend=geglu_backend)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Transformer2DModel (spatial transformer wrapper)
+# ---------------------------------------------------------------------------
+
+
+def init_spatial_transformer(
+    rng,
+    channels: int,
+    heads: int,
+    context_dim: int,
+    *,
+    depth: int = 1,
+    use_linear_projection: bool = False,
+    dtype=jnp.bfloat16,
+) -> Params:
+    ks = jax.random.split(rng, depth + 2)
+    p = {
+        "norm": init_norm(channels),
+        "blocks": [
+            init_transformer_block(ks[i], channels, heads, context_dim, dtype=dtype)
+            for i in range(depth)
+        ],
+    }
+    if use_linear_projection:
+        p["proj_in"] = init_linear(ks[-2], channels, channels, dtype=dtype)
+        p["proj_out"] = init_linear(ks[-1], channels, channels, dtype=dtype)
+    else:
+        p["proj_in"] = init_conv(ks[-2], 1, 1, channels, channels, dtype=dtype)
+        p["proj_out"] = init_conv(ks[-1], 1, 1, channels, channels, dtype=dtype)
+    return p
+
+
+def spatial_transformer_fwd(
+    p: Params,
+    x: jax.Array,
+    context: jax.Array,
+    *,
+    heads: int,
+    use_linear_projection: bool = False,
+    gn_backend: Optional[str] = None,
+    attn_backend: Optional[str] = None,
+    geglu_backend: Optional[str] = None,
+    ip_extra_kv: Optional[tuple] = None,
+    ip_scale: float = 1.0,
+) -> jax.Array:
+    """diffusers Transformer2DModel over NHWC: GN(eps 1e-6) → proj_in →
+    blocks over (B, HW, C) tokens → proj_out → +residual.
+
+    In NHWC the NCHW↔(B,HW,C) permutes of the torch version are free
+    reshapes — the layout win the reference chases with channels_last
+    (``utils/memory_format.py``) is the default here.
+    """
+    b, hgt, wid, c = x.shape
+    residual = x
+    h = group_norm(
+        x, p["norm"]["scale"], p["norm"]["bias"], groups=32, eps=1e-6,
+        backend=gn_backend,
+    )
+    if use_linear_projection:
+        h = h.reshape(b, hgt * wid, c)
+        h = linear(h, p["proj_in"]["w"], p["proj_in"].get("b"))
+    else:
+        h = conv2d(h, p["proj_in"]["w"], p["proj_in"]["b"]).reshape(b, hgt * wid, c)
+    for blk in p["blocks"]:
+        h = transformer_block_fwd(
+            blk, h, context, heads=heads, attn_backend=attn_backend,
+            geglu_backend=geglu_backend, ip_extra_kv=ip_extra_kv, ip_scale=ip_scale,
+        )
+    if use_linear_projection:
+        h = linear(h, p["proj_out"]["w"], p["proj_out"].get("b"))
+        h = h.reshape(b, hgt, wid, c)
+    else:
+        h = conv2d(h.reshape(b, hgt, wid, c), p["proj_out"]["w"], p["proj_out"]["b"])
+    return h + residual
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+
+
+def init_downsample(rng, c: int, *, dtype=jnp.bfloat16) -> Params:
+    return {"conv": init_conv(rng, 3, 3, c, c, dtype=dtype)}
+
+
+def downsample_fwd(p: Params, x: jax.Array) -> jax.Array:
+    return conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1)
+
+
+def init_upsample(rng, c: int, *, dtype=jnp.bfloat16) -> Params:
+    return {"conv": init_conv(rng, 3, 3, c, c, dtype=dtype)}
+
+
+def upsample_fwd(p: Params, x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    # nearest-neighbor 2x without gather: broadcast + reshape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    x = x.reshape(b, h * 2, w * 2, c)
+    return conv2d(x, p["conv"]["w"], p["conv"]["b"], padding=1)

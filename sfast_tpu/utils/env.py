@@ -55,7 +55,13 @@ def setup_environment():
         return
     _SETUP_DONE = True
 
-    if os.environ.get("SFAST_TPU_DISABLE_CACHE", "0") != "1":
+    # Persistent cache only for TPU targets: CPU executables are AOT'd
+    # against host CPU features and don't transport across machines.
+    # (Platform is read from the env to avoid initializing a backend at
+    # import time; the axon plugin platform is a tunneled TPU.)
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    is_tpu = ("tpu" in platforms) or ("axon" in platforms) or platforms == ""
+    if os.environ.get("SFAST_TPU_DISABLE_CACHE", "0") != "1" and is_tpu:
         enable_persistent_compilation_cache()
 
     env_module = os.environ.get("SFAST_TPU_ENV_MODULE")

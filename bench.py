@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: SD1.5 512×512 bs1, 50-step DPM++, end-to-end.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's comparison-table SD1.5 e2e latency of 995 ms
+(BASELINE.md row 1; fp16, dynamic shape, CUDA graphs on an unstated
+datacenter GPU).  vs_baseline > 1 means faster than the reference.
+
+Timing discipline mirrors the reference's CUDA-event IterationProfiler
+(examples/optimize_stable_diffusion_pipeline.py:127-151): device-time via
+block_until_ready, warmup excluded, median of repeats.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet
+from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae
+from sfast_tpu.models.clip_text import SD15_TEXT_ENCODER, create_text_encoder
+from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+from sfast_tpu.pipelines import StableDiffusionPipeline
+
+BASELINE_MS = 995.0
+STEPS = 50
+REPEATS = 3
+
+
+def build_pipeline():
+    # Random weights: latency is weight-value independent; real checkpoints
+    # load through sfast_tpu.interop converters.
+    rngs = jax.random.split(jax.random.key(0), 3)
+    dec, enc = create_vae(SD_VAE, rngs[0])
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(SD15_UNET, rngs[1]),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(SD15_TEXT_ENCODER, rngs[2]),
+        scheduler=DPMSolverMultistepScheduler(),
+        dtype=jnp.bfloat16,
+    )
+    cfg = CompilationConfig.Default().replace(fuse_denoising_loop=True)
+    return sfast_tpu.compile(pipe, cfg)
+
+
+def main():
+    t_build = time.time()
+    pipe = build_pipeline()
+    prompt_ids = jax.random.randint(
+        jax.random.key(1), (1, 77), 0, 49408, dtype=jnp.int32
+    )
+    kw = dict(
+        prompt_ids=prompt_ids,
+        height=512,
+        width=512,
+        num_inference_steps=STEPS,
+        guidance_scale=7.5,
+    )
+
+    # warmup / compile
+    t0 = time.time()
+    pipe(seed=0, **kw)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.time()
+        out = pipe(seed=i, **kw)
+        # .images is host numpy → implicit full sync
+        assert out.images.shape == (1, 512, 512, 3)
+        times.append((time.time() - t0) * 1e3)
+
+    e2e_ms = sorted(times)[len(times) // 2]
+    result = {
+        "metric": "sd15_512_bs1_dpmpp50_e2e_ms",
+        "value": round(e2e_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / e2e_ms, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "all_runs_ms": [round(t, 1) for t in times],
+                    "warmup_incl_compile_s": round(compile_s, 1),
+                    "build_s": round(t_build and time.time() - t_build, 1),
+                    "unet_its_per_s": round(STEPS / (e2e_ms / 1e3), 2),
+                    "device": str(jax.devices()[0]),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,7 @@ class CompiledModel:
                 apply_frozen,
                 name=self.name,
                 mode="aot" if config.enable_aot_cache else "jit",
+                static_argnames=getattr(model, "static_argnames", ()),
             )
             self._frozen = True
         else:
@@ -85,6 +86,7 @@ class CompiledModel:
                 apply_fn,
                 name=self.name,
                 mode="aot" if config.enable_aot_cache else "jit",
+                static_argnames=getattr(model, "static_argnames", ()),
             )
             self._frozen = False
         global_executable_cache().register(self.name, self._call)
@@ -184,7 +186,7 @@ def compile(pipeline: Any, config: Optional[CompilationConfig] = None):
     if scheduler is not None and config.trace_scheduler:
         from sfast_tpu.schedulers.compile import compile_scheduler
 
-        compile_scheduler(scheduler)
+        pipeline.scheduler = compile_scheduler(scheduler)
 
     if hasattr(pipeline, "set_compilation_config"):
         pipeline.set_compilation_config(config)

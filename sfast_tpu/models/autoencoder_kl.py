@@ -68,7 +68,8 @@ def _vae_attention_fwd(p, x, *, groups: int):
 
 def init_vae_params(rng, cfg: VAEConfig):
     dt = cfg.dtype
-    keys = iter(jax.random.split(rng, 512))
+    gen = L.as_host_rng(rng)
+    keys = iter(lambda: gen, None)  # infinite host-rng stream
     n = len(cfg.block_out_channels)
 
     # --- encoder ---
@@ -211,7 +212,9 @@ def create_vae(
 ) -> Tuple[Model, Model]:
     """Returns (decoder_model, encoder_model) sharing one param tree."""
     if params is None:
-        params = init_vae_params(rng if rng is not None else jax.random.key(0), cfg)
+        params = L.device_put_tree(
+            init_vae_params(rng if rng is not None else jax.random.key(0), cfg)
+        )
     dec = Model(config=cfg, params=params, forward=vae_decode_fwd, name="vae")
     enc = Model(config=cfg, params=params, forward=vae_encode_fwd, name="vae_encode")
     return dec, enc

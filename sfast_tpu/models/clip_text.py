@@ -58,16 +58,15 @@ TINY_TEXT_ENCODER = CLIPTextConfig(
 
 def init_clip_text_params(rng, cfg: CLIPTextConfig):
     dt = cfg.dtype
-    keys = iter(jax.random.split(rng, 8 + 8 * cfg.num_layers))
+    gen = L.as_host_rng(rng)
+    keys = iter(lambda: gen, None)  # infinite host-rng stream
     p = {
-        "token_embedding": jax.random.normal(
-            next(keys), (cfg.vocab_size, cfg.hidden_size), dt
-        )
-        * 0.02,
-        "position_embedding": jax.random.normal(
-            next(keys), (cfg.max_position_embeddings, cfg.hidden_size), dt
-        )
-        * 0.02,
+        "token_embedding": L._randn(
+            gen, (cfg.vocab_size, cfg.hidden_size), dt, 0.02
+        ),
+        "position_embedding": L._randn(
+            gen, (cfg.max_position_embeddings, cfg.hidden_size), dt, 0.02
+        ),
         "final_layer_norm": L.init_norm(cfg.hidden_size),
         "layers": [],
     }
@@ -158,7 +157,13 @@ def create_text_encoder(
     params=None,
 ) -> Model:
     if params is None:
-        params = init_clip_text_params(
-            rng if rng is not None else jax.random.key(0), cfg
+        params = L.device_put_tree(
+            init_clip_text_params(rng if rng is not None else jax.random.key(0), cfg)
         )
-    return Model(config=cfg, params=params, forward=clip_text_fwd, name="text_encoder")
+    return Model(
+        config=cfg,
+        params=params,
+        forward=clip_text_fwd,
+        name="text_encoder",
+        static_argnames=("output_hidden_states",),
+    )

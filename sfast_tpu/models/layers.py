@@ -39,29 +39,73 @@ Params = Dict[str, Any]
 
 # ---------------------------------------------------------------------------
 # Initializers (shape spec; real weights come from the converters)
+#
+# Init runs entirely on the host with numpy: per-layer jax.random calls
+# would cost one XLA compile + one device dispatch EACH (hundreds of
+# layers ⇒ ~a minute just to build placeholder weights, worse over a
+# tunneled TPU).  A jax key seeds one numpy Generator; values are
+# placeholder-quality by design.
 # ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def as_host_rng(rng) -> _np.random.Generator:
+    """jax key (or int, or Generator) → numpy Generator, one host sync."""
+    if isinstance(rng, _np.random.Generator):
+        return rng
+    if isinstance(rng, int):
+        return _np.random.default_rng(rng)
+    try:
+        seed = int(_np.asarray(jax.random.key_data(rng)).astype(_np.uint64).sum())
+    except Exception:
+        # abstract/traced key (e.g. under jax.eval_shape): values are
+        # irrelevant there, only shapes — use a fixed seed
+        seed = 0
+    return _np.random.default_rng(seed)
+
+
+def _np_dtype(dtype):
+    # numpy understands ml_dtypes (bfloat16) via jnp dtype objects
+    return jnp.dtype(dtype)
+
+
+def _randn(rng, shape, dtype, scale: float):
+    """Host numpy array — stays on host until the model-level bulk
+    device_put (one transfer for the whole tree instead of one per leaf,
+    which matters enormously over a tunneled TPU)."""
+    gen = as_host_rng(rng)
+    arr = gen.standard_normal(shape, dtype=_np.float32) * scale
+    return arr.astype(_np_dtype(dtype))
 
 
 def init_linear(rng, din: int, dout: int, *, bias: bool = True, dtype=jnp.bfloat16):
-    k1, _ = jax.random.split(rng)
-    p = {"w": jax.random.normal(k1, (din, dout), dtype) * (1.0 / math.sqrt(din))}
+    p = {"w": _randn(rng, (din, dout), dtype, 1.0 / math.sqrt(din))}
     if bias:
-        p["b"] = jnp.zeros((dout,), dtype)
+        p["b"] = _np.zeros((dout,), _np_dtype(dtype))
     return p
 
 
 def init_conv(rng, kh: int, kw: int, cin: int, cout: int, *, dtype=jnp.bfloat16):
-    k1, _ = jax.random.split(rng)
     fan_in = kh * kw * cin
     return {
-        "w": jax.random.normal(k1, (kh, kw, cin, cout), dtype)
-        * (1.0 / math.sqrt(fan_in)),
-        "b": jnp.zeros((cout,), dtype),
+        "w": _randn(rng, (kh, kw, cin, cout), dtype, 1.0 / math.sqrt(fan_in)),
+        "b": _np.zeros((cout,), _np_dtype(dtype)),
     }
 
 
 def init_norm(c: int, *, dtype=jnp.float32):
-    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+    return {
+        "scale": _np.ones((c,), _np_dtype(dtype)),
+        "bias": _np.zeros((c,), _np_dtype(dtype)),
+    }
+
+
+def device_put_tree(params, device=None):
+    """One bulk host→device transfer of an init tree."""
+    if device is None:
+        device = jax.devices()[0]
+    return jax.device_put(params, device)
 
 
 # ---------------------------------------------------------------------------
@@ -90,10 +134,10 @@ def sinusoidal_timestep_embedding(
 
 
 def init_time_embedding(rng, cin: int, time_dim: int, dtype=jnp.bfloat16) -> Params:
-    k1, k2 = jax.random.split(rng)
+    gen = as_host_rng(rng)
     return {
-        "linear_1": init_linear(k1, cin, time_dim, dtype=dtype),
-        "linear_2": init_linear(k2, time_dim, time_dim, dtype=dtype),
+        "linear_1": init_linear(gen, cin, time_dim, dtype=dtype),
+        "linear_2": init_linear(gen, time_dim, time_dim, dtype=dtype),
     }
 
 
@@ -110,17 +154,17 @@ def time_embedding_fwd(p: Params, t_emb: jax.Array) -> jax.Array:
 def init_resnet_block(
     rng, cin: int, cout: int, temb_dim: Optional[int], *, dtype=jnp.bfloat16
 ) -> Params:
-    ks = jax.random.split(rng, 4)
+    gen = as_host_rng(rng)
     p = {
         "norm1": init_norm(cin),
-        "conv1": init_conv(ks[0], 3, 3, cin, cout, dtype=dtype),
+        "conv1": init_conv(gen, 3, 3, cin, cout, dtype=dtype),
         "norm2": init_norm(cout),
-        "conv2": init_conv(ks[1], 3, 3, cout, cout, dtype=dtype),
+        "conv2": init_conv(gen, 3, 3, cout, cout, dtype=dtype),
     }
     if temb_dim is not None:
-        p["time_emb_proj"] = init_linear(ks[2], temb_dim, cout, dtype=dtype)
+        p["time_emb_proj"] = init_linear(gen, temb_dim, cout, dtype=dtype)
     if cin != cout:
-        p["conv_shortcut"] = init_conv(ks[3], 1, 1, cin, cout, dtype=dtype)
+        p["conv_shortcut"] = init_conv(gen, 1, 1, cin, cout, dtype=dtype)
     return p
 
 
@@ -174,13 +218,13 @@ def init_attention(
     qkv_bias: bool = False,
     dtype=jnp.bfloat16,
 ) -> Params:
-    ks = jax.random.split(rng, 4)
+    gen = as_host_rng(rng)
     ctx = context_dim or dim
     return {
-        "to_q": init_linear(ks[0], dim, dim, bias=qkv_bias, dtype=dtype),
-        "to_k": init_linear(ks[1], ctx, dim, bias=qkv_bias, dtype=dtype),
-        "to_v": init_linear(ks[2], ctx, dim, bias=qkv_bias, dtype=dtype),
-        "to_out": init_linear(ks[3], dim, dim, bias=True, dtype=dtype),
+        "to_q": init_linear(gen, dim, dim, bias=qkv_bias, dtype=dtype),
+        "to_k": init_linear(gen, ctx, dim, bias=qkv_bias, dtype=dtype),
+        "to_v": init_linear(gen, ctx, dim, bias=qkv_bias, dtype=dtype),
+        "to_out": init_linear(gen, dim, dim, bias=True, dtype=dtype),
     }
 
 
@@ -230,11 +274,11 @@ def attention_fwd(
 
 
 def init_feed_forward(rng, dim: int, mult: int = 4, *, dtype=jnp.bfloat16) -> Params:
-    k1, k2 = jax.random.split(rng)
+    gen = as_host_rng(rng)
     inner = dim * mult
     return {
-        "proj": init_linear(k1, dim, inner * 2, dtype=dtype),  # GEGLU fused weight
-        "out": init_linear(k2, inner, dim, dtype=dtype),
+        "proj": init_linear(gen, dim, inner * 2, dtype=dtype),  # GEGLU fused weight
+        "out": init_linear(gen, inner, dim, dtype=dtype),
     }
 
 
@@ -253,16 +297,16 @@ def init_transformer_block(
     *,
     dtype=jnp.bfloat16,
 ) -> Params:
-    ks = jax.random.split(rng, 3)
+    gen = as_host_rng(rng)
     return {
         "norm1": init_norm(dim),
-        "attn1": init_attention(ks[0], dim, heads, dtype=dtype),
+        "attn1": init_attention(gen, dim, heads, dtype=dtype),
         "norm2": init_norm(dim),
         "attn2": init_attention(
-            ks[1], dim, heads, context_dim=context_dim, dtype=dtype
+            gen, dim, heads, context_dim=context_dim, dtype=dtype
         ),
         "norm3": init_norm(dim),
-        "ff": init_feed_forward(ks[2], dim, dtype=dtype),
+        "ff": init_feed_forward(gen, dim, dtype=dtype),
     }
 
 
@@ -306,20 +350,20 @@ def init_spatial_transformer(
     use_linear_projection: bool = False,
     dtype=jnp.bfloat16,
 ) -> Params:
-    ks = jax.random.split(rng, depth + 2)
+    gen = as_host_rng(rng)
     p = {
         "norm": init_norm(channels),
         "blocks": [
-            init_transformer_block(ks[i], channels, heads, context_dim, dtype=dtype)
-            for i in range(depth)
+            init_transformer_block(gen, channels, heads, context_dim, dtype=dtype)
+            for _ in range(depth)
         ],
     }
     if use_linear_projection:
-        p["proj_in"] = init_linear(ks[-2], channels, channels, dtype=dtype)
-        p["proj_out"] = init_linear(ks[-1], channels, channels, dtype=dtype)
+        p["proj_in"] = init_linear(gen, channels, channels, dtype=dtype)
+        p["proj_out"] = init_linear(gen, channels, channels, dtype=dtype)
     else:
-        p["proj_in"] = init_conv(ks[-2], 1, 1, channels, channels, dtype=dtype)
-        p["proj_out"] = init_conv(ks[-1], 1, 1, channels, channels, dtype=dtype)
+        p["proj_in"] = init_conv(gen, 1, 1, channels, channels, dtype=dtype)
+        p["proj_out"] = init_conv(gen, 1, 1, channels, channels, dtype=dtype)
     return p
 
 

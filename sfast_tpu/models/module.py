@@ -32,6 +32,9 @@ class Model:
     params: Any
     forward: Callable
     name: str = ""
+    # kwargs of `forward` that are compile-time flags (hashed by value,
+    # baked into the executable) rather than traced arrays
+    static_argnames: tuple = ()
 
     def apply_fn(self, compile_config: Optional[CompilationConfig] = None) -> Callable:
         ccfg = compile_config or CompilationConfig.Default()

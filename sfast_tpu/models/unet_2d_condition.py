@@ -117,7 +117,8 @@ TINY_UNET = UNetConfig(
 def init_unet_params(rng, cfg: UNetConfig):
     dt = cfg.dtype
     n_blocks = len(cfg.block_out_channels)
-    keys = iter(jax.random.split(rng, 4096))
+    gen = L.as_host_rng(rng)
+    keys = iter(lambda: gen, None)  # infinite host-rng stream
 
     p: dict = {
         "conv_in": L.init_conv(
@@ -383,5 +384,7 @@ def create_unet(
     cfg: UNetConfig = SD15_UNET, rng: Optional[jax.Array] = None, params=None
 ) -> Model:
     if params is None:
-        params = init_unet_params(rng if rng is not None else jax.random.key(0), cfg)
+        params = L.device_put_tree(
+            init_unet_params(rng if rng is not None else jax.random.key(0), cfg)
+        )
     return Model(config=cfg, params=params, forward=unet_fwd, name="unet")

@@ -31,9 +31,16 @@ def _gelu(y, approximate: bool):
     return jax.nn.gelu(y, approximate=approximate)
 
 
-def _geglu_kernel(
-    x_ref, w1_ref, w2_ref, b1_ref, b2_ref, o_ref, acc1, acc2, *, approx_gelu
-):
+def _gelu_kernel(y):
+    """In-kernel GELU: Mosaic has no erf/erfc lowering, so the Pallas
+    path always uses the tanh approximation — the same trade the
+    reference makes with PTX tanh.approx in its CUTLASS epilogue
+    (cutlass_dual_linear_kernel.cu:500-525).  Exact (erf) GELU is
+    available on the XLA fallback path."""
+    return jax.nn.gelu(y, approximate=True)
+
+
+def _geglu_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, o_ref, acc1, acc2):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -50,7 +57,7 @@ def _geglu_kernel(
     def _epilogue():
         a = acc1[:] + b1_ref[:]
         b = acc2[:] + b2_ref[:]
-        o_ref[:] = (_gelu(a, approx_gelu) * b).astype(o_ref.dtype)
+        o_ref[:] = (_gelu_kernel(a) * b).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, cap: int, multiple: int) -> int:
@@ -92,9 +99,8 @@ def linear_geglu_pallas(
     bk = _pick_block(k, block_k, 128)
     grid = (m // bm, f // bf, k // bk)
 
-    kernel = functools.partial(_geglu_kernel, approx_gelu=approx_gelu)
     out = pl.pallas_call(
-        kernel,
+        _geglu_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),

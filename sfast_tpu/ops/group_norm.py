@@ -90,13 +90,13 @@ def _stats_kernel(x_ref, mean_ref, rstd_ref, s1, s2, *, groups, eps, hw):
         var_g = gs2 / n - mean_g * mean_g
         rstd_g = jax.lax.rsqrt(var_g + eps)
         # Broadcast group stats back to channels via Mᵀ on the MXU.
-        mean_ref[:] = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)
-        rstd_ref[:] = jnp.dot(rstd_g, m.T, preferred_element_type=jnp.float32)
+        mean_ref[0] = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)
+        rstd_ref[0] = jnp.dot(rstd_g, m.T, preferred_element_type=jnp.float32)
 
 
 def _norm_apply_kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, o_ref, *, act):
     x = x_ref[0].astype(jnp.float32)
-    y = (x - mean_ref[:]) * rstd_ref[:] * gamma_ref[:] + beta_ref[:]
+    y = (x - mean_ref[0]) * rstd_ref[0] * gamma_ref[0] + beta_ref[0]
     o_ref[0] = _apply_act(y, act).astype(o_ref.dtype)
 
 
@@ -129,12 +129,12 @@ def group_norm_pallas(
             )
         ],
         out_specs=[
-            pl.BlockSpec((1, c), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, c), jnp.float32),
@@ -144,8 +144,8 @@ def group_norm_pallas(
     )(xf)
 
     apply = functools.partial(_norm_apply_kernel, act=act)
-    gamma2 = gamma.reshape(1, c).astype(jnp.float32)
-    beta2 = beta.reshape(1, c).astype(jnp.float32)
+    gamma2 = gamma.reshape(1, 1, c).astype(jnp.float32)
+    beta2 = beta.reshape(1, 1, c).astype(jnp.float32)
     out = pl.pallas_call(
         apply,
         grid=grid,
@@ -153,10 +153,10 @@ def group_norm_pallas(
             pl.BlockSpec(
                 (1, block_hw, c), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, c), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_hw, c), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM

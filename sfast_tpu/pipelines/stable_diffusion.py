@@ -1,0 +1,257 @@
+"""Native Stable Diffusion pipeline (text2img + img2img).
+
+The reference wraps diffusers' pipeline and swaps submodel forwards
+(``diffusion_pipeline_compiler.py:81-124``); sfast_tpu also ships a
+*native* pipeline so the whole stack is runnable without torch.  The
+call loop mirrors diffusers' StableDiffusionPipeline semantics (CFG
+batching, scheduler interaction, VAE scaling factor) — SURVEY.md §3.4.
+
+Two execution modes:
+
+- **stepwise** (default): Python loop over denoising steps; each UNet
+  call dispatches one cached executable (≙ one cudaGraphLaunch per step,
+  SURVEY.md §3.3); per-step callbacks are supported.
+- **fused** (``fuse_denoising_loop``): the whole N-step loop compiles to
+  ONE executable via ``lax.fori_loop`` — zero per-step host work, the
+  TPU-only trick the reference cannot do (callbacks are unavailable).
+"""
+
+import logging
+from typing import Any, Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
+from sfast_tpu.models.module import Model
+from sfast_tpu.runtime.tracing import LazyCompiledFunction
+from sfast_tpu.schedulers.common import add_noise
+from sfast_tpu.utils.image import denormalize_to_uint8, preprocess_image, to_pil
+
+logger = logging.getLogger(__name__)
+
+
+class PipelineOutput:
+    def __init__(self, images):
+        self.images = images
+
+
+class StableDiffusionPipeline:
+    """SD1.5/SD2.x text-to-image and image-to-image.
+
+    Submodels are :class:`Model` bundles (or already-``CompiledModel``
+    wrapped); ``sfast_tpu.compile(pipe)`` upgrades them in place.
+    """
+
+    # conditioning source: 'last' (SD1.5) or 'penultimate' (SD2.x)
+    clip_skip_mode = "last"
+
+    def __init__(
+        self,
+        unet: Model,
+        vae: Model,
+        text_encoder: Model,
+        scheduler,
+        *,
+        vae_encode: Optional[Model] = None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.vae_encode = vae_encode
+        self.text_encoder = text_encoder
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self._ccfg = CompilationConfig.Default()
+        self._fused_loop = None
+
+    # -- compile() integration -------------------------------------------
+    def set_compilation_config(self, ccfg: CompilationConfig):
+        self._ccfg = ccfg
+        self._fused_loop = None
+
+    @property
+    def vae_config(self):
+        return self.vae.model.config if isinstance(self.vae, CompiledModel) else self.vae.config
+
+    @property
+    def unet_model(self) -> Model:
+        return self.unet.model if isinstance(self.unet, CompiledModel) else self.unet
+
+    @property
+    def vae_scale_factor(self) -> int:
+        return 2 ** (len(self.vae_config.block_out_channels) - 1)
+
+    # -- prompts ----------------------------------------------------------
+    def tokenize(self, prompt: Union[str, List[str]]) -> jnp.ndarray:
+        if self.tokenizer is None:
+            raise ValueError(
+                "no tokenizer attached; pass prompt_ids (pre-tokenized) "
+                "or construct the pipeline with tokenizer="
+            )
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        enc = self.tokenizer(
+            prompt,
+            padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        return jnp.asarray(enc.input_ids, jnp.int32)
+
+    def encode_prompt(self, prompt_ids, negative_prompt_ids=None):
+        """Returns CFG-stacked embeddings (2B, S, D): [uncond; cond]."""
+        out = self.text_encoder(
+            prompt_ids,
+            output_hidden_states=(self.clip_skip_mode == "penultimate"),
+        )
+        cond = (
+            out["hidden_states"][-2]
+            if self.clip_skip_mode == "penultimate"
+            else out["last_hidden_state"]
+        )
+        if negative_prompt_ids is None:
+            negative_prompt_ids = jnp.zeros_like(prompt_ids)
+            negative_prompt_ids = negative_prompt_ids.at[:, 0].set(prompt_ids[0, 0])
+        nout = self.text_encoder(
+            negative_prompt_ids,
+            output_hidden_states=(self.clip_skip_mode == "penultimate"),
+        )
+        uncond = (
+            nout["hidden_states"][-2]
+            if self.clip_skip_mode == "penultimate"
+            else nout["last_hidden_state"]
+        )
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    # -- denoising --------------------------------------------------------
+    def _unet_eps(self, state, i, latents, t, context, guidance_scale):
+        """One CFG-batched UNet evaluation + guidance combine."""
+        lat_in = jnp.concatenate([latents, latents], axis=0)
+        lat_in = self.scheduler.scale_model_input(state, lat_in, i)
+        tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+        eps = self.unet(lat_in, tt, context)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    def _build_fused_loop(self, num_steps: int):
+        """One executable for the entire denoise loop (lax.fori_loop)."""
+        unet_apply = self.unet_model.apply_fn(self._ccfg)
+        scheduler = self.scheduler
+
+        def loop(params, latents, context, state, guidance_scale):
+            def body(i, carry):
+                lat, st = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = scheduler.scale_model_input(st, lat_in, i)
+                t = st["timesteps"][i]
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                eps = unet_apply(params, lat_in, tt, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                lat, st = scheduler.step(st, eps, i, lat)
+                return (lat, st)
+
+            lat, _ = jax.lax.fori_loop(0, num_steps, body, (latents, state))
+            return lat
+
+        return LazyCompiledFunction(loop, name=f"denoise_loop_{num_steps}")
+
+    # -- main entry --------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        *,
+        prompt_ids: Optional[jnp.ndarray] = None,
+        negative_prompt_ids: Optional[jnp.ndarray] = None,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        latents: Optional[jnp.ndarray] = None,
+        image=None,
+        strength: float = 0.8,
+        output_type: str = "np",  # 'np' | 'pil' | 'latent'
+        callback_on_step_end: Optional[Callable] = None,
+    ) -> PipelineOutput:
+        if prompt_ids is None:
+            prompt_ids = self.tokenize(prompt)
+        b = prompt_ids.shape[0]
+        key = jax.random.key(seed)
+        vae_cfg = self.vae_config
+        lat_c = vae_cfg.latent_channels
+        sf = self.vae_scale_factor
+        lh, lw = height // sf, width // sf
+
+        context = self.encode_prompt(prompt_ids, negative_prompt_ids)
+
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        start_index = 0
+        if image is not None:
+            # img2img: encode, noise to the strength point
+            if self.vae_encode is None:
+                raise ValueError("pipeline has no vae_encode model for img2img")
+            img = preprocess_image(image, self.dtype)
+            key, k_enc, k_noise = jax.random.split(key, 3)
+            mean, logvar = self.vae_encode(img)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_enc, mean.shape, dtype=jnp.float32
+            ).astype(mean.dtype)
+            z = z * vae_cfg.scaling_factor
+            start_index = max(
+                num_inference_steps - int(num_inference_steps * strength), 0
+            )
+            noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+            if "alpha_t" in state:
+                latents = add_noise(state, z.astype(jnp.float32), noise, start_index)
+            else:  # kd-sigma schedulers
+                sig = state["sigmas"][start_index]
+                a = 1.0 / jnp.sqrt(1 + sig**2)
+                latents = a * z.astype(jnp.float32) + sig * a * noise
+            latents = latents.astype(self.dtype)
+        elif latents is None:
+            key, sub = jax.random.split(key)
+            latents = jax.random.normal(sub, (b, lh, lw, lat_c), jnp.float32)
+            init_sigma = state.get("init_noise_sigma", self.scheduler.init_noise_sigma)
+            latents = (latents * init_sigma).astype(self.dtype)
+
+        if hasattr(self.scheduler, "prepare_state"):
+            state = self.scheduler.prepare_state(state, latents)
+
+        gs = jnp.float32(guidance_scale)
+        use_fused = (
+            self._ccfg.fuse_denoising_loop
+            and callback_on_step_end is None
+            and start_index == 0
+        )
+        if use_fused:
+            if self._fused_loop is None:
+                self._fused_loop = self._build_fused_loop(num_inference_steps)
+            params = (
+                self.unet.params
+                if isinstance(self.unet, CompiledModel)
+                else self.unet_model.params
+            )
+            latents = self._fused_loop(params, latents, context, state, gs)
+        else:
+            for i in range(start_index, num_inference_steps):
+                t = state["timesteps"][i]
+                eps = self._unet_eps(state, i, latents, t, context, gs)
+                latents, state = self.scheduler.step(state, eps, i, latents)
+                if callback_on_step_end is not None:
+                    callback_on_step_end(self, i, t, {"latents": latents})
+
+        if output_type == "latent":
+            return PipelineOutput(latents)
+
+        image_out = self.vae(latents / vae_cfg.scaling_factor)
+        image_out = denormalize_to_uint8(image_out)
+        if output_type == "pil":
+            return PipelineOutput(to_pil(image_out))
+        return PipelineOutput(np.asarray(image_out))

@@ -57,9 +57,14 @@ def setup_environment():
 
     # Persistent cache only for TPU targets: CPU executables are AOT'd
     # against host CPU features and don't transport across machines.
-    # (Platform is read from the env to avoid initializing a backend at
-    # import time; the axon plugin platform is a tunneled TPU.)
-    platforms = os.environ.get("JAX_PLATFORMS", "")
+    # (Platform is read from jax.config/env to avoid initializing a
+    # backend at import time; the axon plugin platform is a tunneled TPU.)
+    try:
+        import jax
+
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    except Exception:  # pragma: no cover
+        platforms = os.environ.get("JAX_PLATFORMS", "")
     is_tpu = ("tpu" in platforms) or ("axon" in platforms) or platforms == ""
     if os.environ.get("SFAST_TPU_DISABLE_CACHE", "0") != "1" and is_tpu:
         enable_persistent_compilation_cache()

@@ -9,7 +9,7 @@ import pytest
 from sfast_tpu.ops.geglu import linear_geglu, linear_geglu_pallas, linear_geglu_xla
 
 
-def _torch_geglu(x, w, b):
+def _torch_geglu(x, w, b, approximate="none"):
     import torch
     import torch.nn.functional as F
 
@@ -18,7 +18,7 @@ def _torch_geglu(x, w, b):
     bt = torch.from_numpy(np.asarray(b, np.float32))
     y = xt @ wt + bt
     a, g = y.chunk(2, dim=-1)
-    return (F.gelu(a) * g).numpy()
+    return (F.gelu(a, approximate=approximate) * g).numpy()
 
 
 @pytest.mark.parametrize(
@@ -40,7 +40,9 @@ def test_geglu_pallas_matches_torch(m, k, f, use_bias):
         else jnp.zeros((2 * f,), jnp.float32)
     )
     out = linear_geglu_pallas(x, w, b if use_bias else None, interpret=True)
-    ref = _torch_geglu(x, w, b)
+    # the Pallas kernel uses tanh-approx GELU (Mosaic has no erf), like the
+    # reference's CUTLASS tanh.approx epilogue
+    ref = _torch_geglu(x, w, b, approximate="tanh")
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
 
 

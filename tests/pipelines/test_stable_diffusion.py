@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests on tiny models (CPU) — the assertable
+counterpart of the reference's visual-only e2e benchmarks
+(tests/compilers/test_stable_diffusion_pipeline_compiler.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+from sfast_tpu.schedulers import DDIMScheduler, DPMSolverMultistepScheduler
+from sfast_tpu.pipelines import StableDiffusionPipeline
+
+import dataclasses
+
+TINY_UNET32 = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+
+
+def _tiny_pipe(scheduler=None):
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    return StableDiffusionPipeline(
+        unet=create_unet(TINY_UNET32, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=scheduler or DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+
+
+CCFG = CompilationConfig.Default().replace(enable_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def compiled_pipe():
+    pipe = _tiny_pipe()
+    return sfast_tpu.compile(pipe, CCFG)
+
+
+def test_text2img_end_to_end(compiled_pipe):
+    ids = jnp.ones((1, 77), jnp.int32)
+    out = compiled_pipe(
+        prompt_ids=ids, height=128, width=128, num_inference_steps=3, seed=7
+    )
+    assert out.images.shape == (1, 128, 128, 3)
+    assert out.images.dtype == np.uint8
+
+
+def test_determinism_same_seed(compiled_pipe):
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=3)
+    a = compiled_pipe(**kw).images
+    b = compiled_pipe(**kw).images
+    np.testing.assert_array_equal(a, b)
+    c = compiled_pipe(prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=4).images
+    assert (a != c).any()
+
+
+def test_latent_output_and_guidance(compiled_pipe):
+    ids = jnp.ones((1, 77), jnp.int32)
+    lat = compiled_pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+        output_type="latent", seed=0,
+    ).images
+    assert lat.shape == (1, 32, 32, 4)  # tiny VAE is a x2 autoencoder
+    lat_g0 = compiled_pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+        output_type="latent", seed=0, guidance_scale=1.0,
+    ).images
+    assert np.abs(np.asarray(lat) - np.asarray(lat_g0)).max() > 0
+
+
+def test_img2img(compiled_pipe):
+    ids = jnp.ones((1, 77), jnp.int32)
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    out = compiled_pipe(
+        prompt_ids=ids, image=img, strength=0.5, num_inference_steps=4,
+        height=64, width=64, seed=1,
+    )
+    assert out.images.shape == (1, 64, 64, 3)
+
+
+def test_callback_on_step_end(compiled_pipe):
+    ids = jnp.ones((1, 77), jnp.int32)
+    seen = []
+    compiled_pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=3, seed=0,
+        callback_on_step_end=lambda p, i, t, kw: seen.append(i),
+    )
+    assert seen == [0, 1, 2]
+
+
+def test_fused_loop_matches_stepwise():
+    """The single-executable lax.fori_loop denoise must produce the same
+    latents as the stepwise path."""
+    pipe = _tiny_pipe(DPMSolverMultistepScheduler())
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=4,
+        output_type="latent", seed=5,
+    )
+    stepwise = pipe(**kw).images
+
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = pipe(**kw).images
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(fused), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_batch_of_prompts(compiled_pipe):
+    ids = jnp.ones((2, 77), jnp.int32)
+    out = compiled_pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=0
+    )
+    assert out.images.shape == (2, 64, 64, 3)

@@ -74,7 +74,13 @@ class CompilationConfig:
     freeze: bool = False  # ≙ enable_jit_freeze + preserve_parameters=False
     preserve_parameters: bool = True
     enable_cnn_optimization: bool = True
-    enable_fused_linear_geglu: bool = True
+    # Pallas GroupNorm / GEGLU win standalone microbenchmarks but lose at
+    # model level on v5e (they sit at fusion boundaries XLA would
+    # otherwise fuse through): full-UNet sweep 2026-08 — all_xla 31.6ms,
+    # flash_only 28.6ms, geglu_only 36.0ms, gn_only 39.3ms.  Defaults
+    # follow the measurements; both kernels remain opt-in.
+    enable_fused_group_norm: bool = False
+    enable_fused_linear_geglu: bool = False
     prefer_lowp_gemm: bool = dataclasses.field(default_factory=_default_lowp)
     enable_flash_attention: bool = True
     enable_aot_cache: bool = True

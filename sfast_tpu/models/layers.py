@@ -102,10 +102,46 @@ def init_norm(c: int, *, dtype=jnp.float32):
 
 
 def device_put_tree(params, device=None):
-    """One bulk host→device transfer of an init tree."""
+    """Fast host→device transfer of a large param tree.
+
+    Per-leaf ``device_put`` costs one RPC each — ~0.5 s/leaf over a
+    tunneled TPU, i.e. minutes for a 700-leaf UNet.  Instead: pack all
+    leaves of each dtype into ONE contiguous host array, transfer it in a
+    single copy (~1 GB/s), and carve the tree back out on device with one
+    jitted slice/reshape program.
+    """
     if device is None:
         device = jax.devices()[0]
-    return jax.device_put(params, device)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    by_dtype = {}
+    metas = []  # (dtype_key, offset, shape) per leaf
+    for leaf in leaves:
+        arr = _np.asarray(leaf)
+        key = str(arr.dtype)
+        buf = by_dtype.setdefault(key, [])
+        offset = sum(a.size for a in buf)
+        metas.append((key, offset, arr.shape))
+        buf.append(arr.reshape(-1))
+
+    packed = {
+        k: jax.device_put(_np.concatenate(v) if len(v) > 1 else v[0], device)
+        for k, v in by_dtype.items()
+    }
+
+    def unpack(packed):
+        out = []
+        for key, offset, shape in metas:
+            size = 1
+            for s in shape:
+                size *= s
+            out.append(
+                jax.lax.dynamic_slice(packed[key], (offset,), (size,)).reshape(shape)
+            )
+        return out
+
+    new_leaves = jax.jit(unpack)(packed)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 # ---------------------------------------------------------------------------

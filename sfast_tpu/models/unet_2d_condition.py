@@ -242,9 +242,10 @@ def _backends(ccfg: CompilationConfig):
     """Map config knobs → op backend selections (None = per-op auto)."""
     if not ccfg.enable_pallas:
         return dict(gn="xla", attn="xla", geglu="xla")
+    gn = None if ccfg.enable_fused_group_norm else "xla"
     attn = None if ccfg.enable_flash_attention else "xla"
     geglu = None if ccfg.enable_fused_linear_geglu else "xla"
-    return dict(gn=None, attn=attn, geglu=geglu)
+    return dict(gn=gn, attn=attn, geglu=geglu)
 
 
 def unet_fwd(

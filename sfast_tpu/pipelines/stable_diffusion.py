@@ -28,7 +28,12 @@ from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
 from sfast_tpu.models.module import Model
 from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.schedulers.common import add_noise
-from sfast_tpu.utils.image import denormalize_to_uint8, preprocess_image, to_pil
+from sfast_tpu.utils.image import (
+    denormalize_to_uint8,
+    preprocess_control_image,
+    preprocess_image,
+    to_pil,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -56,6 +61,7 @@ class StableDiffusionPipeline:
         scheduler,
         *,
         vae_encode: Optional[Model] = None,
+        controlnet: Optional[Model] = None,
         tokenizer=None,
         dtype=jnp.bfloat16,
     ):
@@ -63,6 +69,7 @@ class StableDiffusionPipeline:
         self.vae = vae
         self.vae_encode = vae_encode
         self.text_encoder = text_encoder
+        self.controlnet = controlnet
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self.dtype = dtype
@@ -130,12 +137,27 @@ class StableDiffusionPipeline:
         return jnp.concatenate([uncond, cond], axis=0)
 
     # -- denoising --------------------------------------------------------
-    def _unet_eps(self, state, i, latents, t, context, guidance_scale):
-        """One CFG-batched UNet evaluation + guidance combine."""
+    def _unet_eps(
+        self, state, i, latents, t, context, guidance_scale,
+        control_image=None, control_scale=1.0,
+    ):
+        """One CFG-batched UNet evaluation + guidance combine, with
+        optional ControlNet residual branch (SURVEY.md §3.4: controlnet
+        forward precedes each UNet forward)."""
         lat_in = jnp.concatenate([latents, latents], axis=0)
         lat_in = self.scheduler.scale_model_input(state, lat_in, i)
         tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-        eps = self.unet(lat_in, tt, context)
+        unet_kwargs = {}
+        if control_image is not None and self.controlnet is not None:
+            down_res, mid_res = self.controlnet(
+                lat_in, tt, context, control_image,
+                conditioning_scale=control_scale,
+            )
+            unet_kwargs = dict(
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+            )
+        eps = self.unet(lat_in, tt, context, **unet_kwargs)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
@@ -143,10 +165,11 @@ class StableDiffusionPipeline:
         """One executable for the entire denoise loop (lax.fori_loop)."""
         unet_apply = self.unet_model.apply_fn(self._ccfg)
         scheduler = self.scheduler
+        needs_noise = getattr(scheduler, "needs_noise", False)
 
-        def loop(params, latents, context, state, guidance_scale):
+        def loop(params, latents, context, state, guidance_scale, key):
             def body(i, carry):
-                lat, st = carry
+                lat, st, key = carry
                 lat_in = jnp.concatenate([lat, lat], axis=0)
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
@@ -154,10 +177,17 @@ class StableDiffusionPipeline:
                 eps = unet_apply(params, lat_in, tt, context)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
-                lat, st = scheduler.step(st, eps, i, lat)
-                return (lat, st)
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    lat, st = scheduler.step(st, eps, i, lat, noise=noise)
+                else:
+                    lat, st = scheduler.step(st, eps, i, lat)
+                return (lat, st, key)
 
-            lat, _ = jax.lax.fori_loop(0, num_steps, body, (latents, state))
+            lat, _, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, state, key)
+            )
             return lat
 
         return LazyCompiledFunction(loop, name=f"denoise_loop_{num_steps}")
@@ -177,6 +207,8 @@ class StableDiffusionPipeline:
         latents: Optional[jnp.ndarray] = None,
         image=None,
         strength: float = 0.8,
+        control_image=None,
+        controlnet_conditioning_scale: float = 1.0,
         output_type: str = "np",  # 'np' | 'pil' | 'latent'
         callback_on_step_end: Optional[Callable] = None,
     ) -> PipelineOutput:
@@ -218,17 +250,26 @@ class StableDiffusionPipeline:
         elif latents is None:
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, (b, lh, lw, lat_c), jnp.float32)
-            init_sigma = state.get("init_noise_sigma", self.scheduler.init_noise_sigma)
+            init_sigma = state["init_noise_sigma"] if "init_noise_sigma" in state else getattr(self.scheduler, "init_noise_sigma", 1.0)
             latents = (latents * init_sigma).astype(self.dtype)
 
         if hasattr(self.scheduler, "prepare_state"):
             state = self.scheduler.prepare_state(state, latents)
+
+        ctrl = None
+        ctrl_scale = jnp.float32(controlnet_conditioning_scale)
+        if control_image is not None:
+            if self.controlnet is None:
+                raise ValueError("pipeline has no controlnet model")
+            ctrl = preprocess_control_image(control_image, self.dtype)
+            ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
 
         gs = jnp.float32(guidance_scale)
         use_fused = (
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
             and start_index == 0
+            and ctrl is None
         )
         if use_fused:
             if self._fused_loop is None:
@@ -238,12 +279,24 @@ class StableDiffusionPipeline:
                 if isinstance(self.unet, CompiledModel)
                 else self.unet_model.params
             )
-            latents = self._fused_loop(params, latents, context, state, gs)
+            key, sub = jax.random.split(key)
+            latents = self._fused_loop(params, latents, context, state, gs, sub)
         else:
+            needs_noise = getattr(self.scheduler, "needs_noise", False)
             for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
-                eps = self._unet_eps(state, i, latents, t, context, gs)
-                latents, state = self.scheduler.step(state, eps, i, latents)
+                eps = self._unet_eps(
+                    state, i, latents, t, context, gs,
+                    control_image=ctrl, control_scale=ctrl_scale,
+                )
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    step_noise = jax.random.normal(sub, latents.shape, jnp.float32)
+                    latents, state = self.scheduler.step(
+                        state, eps, i, latents, noise=step_noise
+                    )
+                else:
+                    latents, state = self.scheduler.step(state, eps, i, latents)
                 if callback_on_step_end is not None:
                     callback_on_step_end(self, i, t, {"latents": latents})
 

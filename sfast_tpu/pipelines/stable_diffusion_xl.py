@@ -1,0 +1,134 @@
+"""SDXL pipeline — dual text encoders + micro-conditioning.
+
+Reference parity: ``compile`` handles ``text_encoder_2`` for SDXL
+(``diffusion_pipeline_compiler.py:98-100``) and the benchmark table
+tracks SDXL 1024² (BASELINE.md).  Conditioning follows diffusers'
+StableDiffusionXLPipeline: context = concat(penultimate hidden states of
+both encoders), pooled projection of encoder 2 + time_ids feed the UNet's
+``text_time`` addition embedding.
+"""
+
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfast_tpu.models.module import Model
+from sfast_tpu.pipelines.stable_diffusion import PipelineOutput, StableDiffusionPipeline
+from sfast_tpu.runtime.tracing import LazyCompiledFunction
+from sfast_tpu.utils.image import denormalize_to_uint8, to_pil
+
+
+class StableDiffusionXLPipeline(StableDiffusionPipeline):
+    def __init__(
+        self,
+        unet: Model,
+        vae: Model,
+        text_encoder: Model,
+        text_encoder_2: Model,
+        scheduler,
+        *,
+        vae_encode: Optional[Model] = None,
+        tokenizer=None,
+        tokenizer_2=None,
+        dtype=jnp.bfloat16,
+    ):
+        super().__init__(
+            unet, vae, text_encoder, scheduler,
+            vae_encode=vae_encode, tokenizer=tokenizer, dtype=dtype,
+        )
+        self.text_encoder_2 = text_encoder_2
+        self.tokenizer_2 = tokenizer_2
+
+    def encode_prompt_xl(self, prompt_ids, prompt_ids_2, negative=False):
+        out1 = self.text_encoder(prompt_ids, output_hidden_states=True)
+        out2 = self.text_encoder_2(prompt_ids_2, output_hidden_states=True)
+        h = jnp.concatenate(
+            [out1["hidden_states"][-2], out2["hidden_states"][-2]], axis=-1
+        )
+        pooled = out2["text_embeds"]
+        return h, pooled
+
+    def __call__(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        *,
+        prompt_ids: Optional[jnp.ndarray] = None,
+        prompt_ids_2: Optional[jnp.ndarray] = None,
+        negative_prompt_ids: Optional[jnp.ndarray] = None,
+        negative_prompt_ids_2: Optional[jnp.ndarray] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: int = 0,
+        latents: Optional[jnp.ndarray] = None,
+        original_size=None,
+        crops_coords_top_left=(0, 0),
+        target_size=None,
+        output_type: str = "np",
+        callback_on_step_end=None,
+    ) -> PipelineOutput:
+        if prompt_ids is None:
+            prompt_ids = self.tokenize(prompt)
+        if prompt_ids_2 is None:
+            prompt_ids_2 = prompt_ids
+        b = prompt_ids.shape[0]
+        if negative_prompt_ids is None:
+            negative_prompt_ids = jnp.zeros_like(prompt_ids)
+        if negative_prompt_ids_2 is None:
+            negative_prompt_ids_2 = jnp.zeros_like(prompt_ids_2)
+
+        cond, pooled_c = self.encode_prompt_xl(prompt_ids, prompt_ids_2)
+        uncond, pooled_u = self.encode_prompt_xl(
+            negative_prompt_ids, negative_prompt_ids_2
+        )
+        context = jnp.concatenate([uncond, cond], axis=0)
+        pooled = jnp.concatenate([pooled_u, pooled_c], axis=0)
+
+        original_size = original_size or (height, width)
+        target_size = target_size or (height, width)
+        time_ids = jnp.asarray(
+            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
+            jnp.float32,
+        )
+        time_ids = jnp.tile(time_ids, (2 * b, 1))
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+
+        vae_cfg = self.vae_config
+        sf = self.vae_scale_factor
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        key = jax.random.key(seed)
+        if latents is None:
+            key, sub = jax.random.split(key)
+            latents = jax.random.normal(
+                sub,
+                (b, height // sf, width // sf, vae_cfg.latent_channels),
+                jnp.float32,
+            )
+            init_sigma = state["init_noise_sigma"] if "init_noise_sigma" in state else getattr(self.scheduler, "init_noise_sigma", 1.0)
+            latents = (latents * init_sigma).astype(self.dtype)
+        if hasattr(self.scheduler, "prepare_state"):
+            state = self.scheduler.prepare_state(state, latents)
+
+        gs = jnp.float32(guidance_scale)
+        for i in range(num_inference_steps):
+            t = state["timesteps"][i]
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+            lat_in = self.scheduler.scale_model_input(state, lat_in, i)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            eps = self.unet(lat_in, tt, context, added_cond_kwargs=added)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + gs * (eps_c - eps_u)
+            latents, state = self.scheduler.step(state, eps, i, latents)
+            if callback_on_step_end is not None:
+                callback_on_step_end(self, i, t, {"latents": latents})
+
+        if output_type == "latent":
+            return PipelineOutput(latents)
+        image = self.vae(latents / vae_cfg.scaling_factor)
+        image = denormalize_to_uint8(image)
+        if output_type == "pil":
+            return PipelineOutput(to_pil(image))
+        return PipelineOutput(np.asarray(image))

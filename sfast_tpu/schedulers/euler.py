@@ -35,6 +35,10 @@ class EulerDiscreteScheduler:
     ancestral: bool = False
     order: int = 1
 
+    @property
+    def needs_noise(self) -> bool:
+        return self.ancestral
+
     def set_timesteps(self, num_steps: int) -> Dict:
         sigmas, ts = _kd_sigmas(self.config, num_steps)
         sigmas = np.concatenate([sigmas, [0.0]])

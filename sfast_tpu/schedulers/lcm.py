@@ -21,6 +21,7 @@ class LCMScheduler:
     timestep_scaling: float = 10.0
     sigma_data: float = 0.5
     order: int = 1
+    needs_noise: bool = True
 
     @property
     def init_noise_sigma(self) -> float:

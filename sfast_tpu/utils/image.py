@@ -32,6 +32,21 @@ def to_pil(image) -> List:
     return [Image.fromarray(a) for a in arr]
 
 
+def preprocess_control_image(img, dtype=jnp.float32) -> jnp.ndarray:
+    """Control/conditioning images are [0,1]-ranged (diffusers ControlNet
+    convention), unlike VAE inputs which are [-1,1]."""
+    if not isinstance(img, np.ndarray):
+        if isinstance(img, (list, tuple)):
+            img = np.stack([np.asarray(i) for i in img])
+        else:
+            img = np.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    return jnp.asarray(img, dtype)
+
+
 def preprocess_image(img, dtype=jnp.float32) -> jnp.ndarray:
     """PIL image / uint8 array (B,H,W,3) → (B,H,W,3) float in [-1,1]."""
     if not isinstance(img, np.ndarray):

@@ -1,0 +1,117 @@
+"""SDXL pipeline (dual encoders + micro-conditioning) and LCM 4-step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.models.unet_2d_condition import SDXL_UNET, TINY_UNET, create_unet
+from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+from sfast_tpu.schedulers import EulerDiscreteScheduler, LCMScheduler
+from sfast_tpu.pipelines import StableDiffusionPipeline
+from sfast_tpu.pipelines.stable_diffusion_xl import StableDiffusionXLPipeline
+
+CCFG = CompilationConfig.Default().replace(enable_pallas=False)
+
+TINY_XL_UNET = dataclasses.replace(
+    SDXL_UNET,
+    block_out_channels=(32, 64),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    transformer_layers_per_block=(1, 1),
+    num_heads=(4, 4),
+    cross_attention_dim=128,  # 64 + 64 from the two tiny encoders
+    projection_class_embeddings_input_dim=64 + 6 * 256,
+    layers_per_block=1,
+    norm_num_groups=8,
+    dtype=jnp.float32,
+)
+
+TINY_TE2 = dataclasses.replace(TINY_TEXT_ENCODER, projection_dim=64)
+
+
+def _xl_pipe():
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    return StableDiffusionXLPipeline(
+        unet=create_unet(TINY_XL_UNET, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        text_encoder_2=create_text_encoder(TINY_TE2, jax.random.key(3)),
+        scheduler=EulerDiscreteScheduler(),
+        dtype=jnp.float32,
+    )
+
+
+def test_sdxl_end_to_end():
+    pipe = sfast_tpu.compile(_xl_pipe(), CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    out = pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=0
+    )
+    assert out.images.shape == (1, 64, 64, 3)
+    assert out.images.dtype == np.uint8
+
+
+def test_sdxl_micro_conditioning_changes_output():
+    pipe = sfast_tpu.compile(_xl_pipe(), CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=0,
+        output_type="latent",
+    )
+    a = pipe(**kw).images
+    b = pipe(original_size=(128, 128), **kw).images
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_lcm_4step():
+    """LCM-LoRA 4-step config (BASELINE.md tracked): tiny UNet + LCM
+    scheduler, guidance 1 (distilled models need no CFG)."""
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=LCMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    out = pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=4,
+        guidance_scale=1.0, seed=0,
+    )
+    assert out.images.shape == (1, 64, 64, 3)
+
+
+def test_lcm_fused_loop_with_noise():
+    """Fused loop must thread RNG for noise-needing schedulers and match
+    nothing-weird (finite output)."""
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=LCMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+    out = pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=4,
+        guidance_scale=1.0, seed=0, output_type="latent",
+    )
+    assert bool(jnp.isfinite(out.images).all())

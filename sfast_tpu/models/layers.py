@@ -101,6 +101,16 @@ def init_norm(c: int, *, dtype=jnp.float32):
     }
 
 
+def apply_linear(p: Params, x: jax.Array, act: Optional[str] = None) -> jax.Array:
+    """Linear through a param dict — transparently picks up int8
+    weight-only quantized weights (``quant/dynamic_quant.py``)."""
+    if "w_q" in p:
+        from sfast_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, p["w_q"], p["w_scale"], p.get("b"), act=act)
+    return linear(x, p["w"], p.get("b"), act=act)
+
+
 def device_put_tree(params, device=None):
     """Fast host→device transfer of a large param tree.
 
@@ -178,8 +188,8 @@ def init_time_embedding(rng, cin: int, time_dim: int, dtype=jnp.bfloat16) -> Par
 
 
 def time_embedding_fwd(p: Params, t_emb: jax.Array) -> jax.Array:
-    h = linear(t_emb, p["linear_1"]["w"], p["linear_1"].get("b"), act="silu")
-    return linear(h, p["linear_2"]["w"], p["linear_2"].get("b"))
+    h = apply_linear(p["linear_1"], t_emb, act="silu")
+    return apply_linear(p["linear_2"], h)
 
 
 # ---------------------------------------------------------------------------
@@ -222,10 +232,9 @@ def resnet_block_fwd(
     )
     h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], padding=1)
     if temb is not None and "time_emb_proj" in p:
-        te = linear(
+        te = apply_linear(
+            p["time_emb_proj"],
             jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
-            p["time_emb_proj"]["w"],
-            p["time_emb_proj"].get("b"),
         )
         h = h + te[:, None, None, :].astype(h.dtype)
     h = group_norm(
@@ -272,18 +281,20 @@ def attention_fwd(
     heads: int,
     causal: bool = False,
     attn_backend: Optional[str] = None,
-    extra_kv: Optional[tuple] = None,
-    extra_scale: float = 1.0,
+    ip_embeds: Optional[jax.Array] = None,
+    ip_scale: float = 1.0,
 ) -> jax.Array:
-    """x: (B, S, D).  ``extra_kv`` is the IP-Adapter hook: an additional
-    (k, v) projected from image embeddings whose attention output is added
-    with ``extra_scale`` (mirrors the community IP-Adapter attn processor
-    the reference supports via its examples)."""
+    """x: (B, S, D).  When the param dict carries ``ip_to_k``/``ip_to_v``
+    (loaded by ``ip_adapter.load_ip_adapter``) and ``ip_embeds`` image
+    tokens are passed, a second attention over the image tokens is added
+    with ``ip_scale`` — the IP-Adapter decoupled-cross-attention processor
+    (the reference supports it through its community examples,
+    ``community/optimize_sd15_with_controlnet_and_ip_adapter.py``)."""
     b, s, d = x.shape
     ctx = x if context is None else context
-    q = linear(x, p["to_q"]["w"], p["to_q"].get("b"))
-    k = linear(ctx, p["to_k"]["w"], p["to_k"].get("b"))
-    v = linear(ctx, p["to_v"]["w"], p["to_v"].get("b"))
+    q = apply_linear(p["to_q"], x)
+    k = apply_linear(p["to_k"], ctx)
+    v = apply_linear(p["to_v"], ctx)
     dh = d // heads
 
     def split_heads(t):
@@ -293,15 +304,16 @@ def attention_fwd(
         split_heads(q), split_heads(k), split_heads(v),
         causal=causal, backend=attn_backend,
     )
-    if extra_kv is not None:
-        ek, ev = extra_kv
+    if ip_embeds is not None and "ip_to_k" in p:
+        ek = apply_linear(p["ip_to_k"], ip_embeds.astype(x.dtype))
+        ev = apply_linear(p["ip_to_v"], ip_embeds.astype(x.dtype))
         ip = dot_product_attention(
             split_heads(q), split_heads(ek), split_heads(ev),
             backend=attn_backend,
         )
-        out = out + extra_scale * ip
+        out = out + ip_scale * ip
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
-    return linear(out, p["to_out"]["w"], p["to_out"].get("b"))
+    return apply_linear(p["to_out"], out)
 
 
 # ---------------------------------------------------------------------------
@@ -321,8 +333,15 @@ def init_feed_forward(rng, dim: int, mult: int = 4, *, dtype=jnp.bfloat16) -> Pa
 def feed_forward_fwd(
     p: Params, x: jax.Array, *, geglu_backend: Optional[str] = None
 ) -> jax.Array:
-    h = linear_geglu(x, p["proj"]["w"], p["proj"].get("b"), backend=geglu_backend)
-    return linear(h, p["out"]["w"], p["out"].get("b"))
+    proj = p["proj"]
+    if "w_q" in proj:
+        y = apply_linear(proj, x)
+        a, g = jnp.split(y, 2, axis=-1)
+        h = (jax.nn.gelu(a.astype(jnp.float32), approximate=False) *
+             g.astype(jnp.float32)).astype(x.dtype)
+    else:
+        h = linear_geglu(x, proj["w"], proj.get("b"), backend=geglu_backend)
+    return apply_linear(p["out"], h)
 
 
 def init_transformer_block(
@@ -354,7 +373,7 @@ def transformer_block_fwd(
     heads: int,
     attn_backend: Optional[str] = None,
     geglu_backend: Optional[str] = None,
-    ip_extra_kv: Optional[tuple] = None,
+    ip_embeds: Optional[jax.Array] = None,
     ip_scale: float = 1.0,
 ) -> jax.Array:
     """diffusers BasicTransformerBlock (pre-LN): self-attn, cross-attn,
@@ -364,7 +383,7 @@ def transformer_block_fwd(
     h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
     x = x + attention_fwd(
         p["attn2"], h, context, heads=heads, attn_backend=attn_backend,
-        extra_kv=ip_extra_kv, extra_scale=ip_scale,
+        ip_embeds=ip_embeds, ip_scale=ip_scale,
     )
     h = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"])
     x = x + feed_forward_fwd(p["ff"], h, geglu_backend=geglu_backend)
@@ -413,7 +432,7 @@ def spatial_transformer_fwd(
     gn_backend: Optional[str] = None,
     attn_backend: Optional[str] = None,
     geglu_backend: Optional[str] = None,
-    ip_extra_kv: Optional[tuple] = None,
+    ip_embeds: Optional[jax.Array] = None,
     ip_scale: float = 1.0,
 ) -> jax.Array:
     """diffusers Transformer2DModel over NHWC: GN(eps 1e-6) → proj_in →
@@ -431,16 +450,16 @@ def spatial_transformer_fwd(
     )
     if use_linear_projection:
         h = h.reshape(b, hgt * wid, c)
-        h = linear(h, p["proj_in"]["w"], p["proj_in"].get("b"))
+        h = apply_linear(p["proj_in"], h)
     else:
         h = conv2d(h, p["proj_in"]["w"], p["proj_in"]["b"]).reshape(b, hgt * wid, c)
     for blk in p["blocks"]:
         h = transformer_block_fwd(
             blk, h, context, heads=heads, attn_backend=attn_backend,
-            geglu_backend=geglu_backend, ip_extra_kv=ip_extra_kv, ip_scale=ip_scale,
+            geglu_backend=geglu_backend, ip_embeds=ip_embeds, ip_scale=ip_scale,
         )
     if use_linear_projection:
-        h = linear(h, p["proj_out"]["w"], p["proj_out"].get("b"))
+        h = apply_linear(p["proj_out"], h)
         h = h.reshape(b, hgt, wid, c)
     else:
         h = conv2d(h.reshape(b, hgt, wid, c), p["proj_out"]["w"], p["proj_out"]["b"])

@@ -260,6 +260,7 @@ def unet_fwd(
     down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
     mid_block_additional_residual: Optional[jax.Array] = None,
     ip_adapter_embeds: Optional[jax.Array] = None,
+    ip_adapter_scale: float = 1.0,
 ) -> jax.Array:
     """sample: (B, H, W, C_in) NHWC latents; timesteps: () or (B,);
     encoder_hidden_states: (B, S, cross_dim).  Returns predicted noise
@@ -296,18 +297,14 @@ def unet_fwd(
 
     context = encoder_hidden_states.astype(cfg.dtype)
 
-    def attn_kwargs(blk_params):
-        kw = dict(
-            use_linear_projection=cfg.use_linear_projection,
-            gn_backend=be["gn"],
-            attn_backend=be["attn"],
-            geglu_backend=be["geglu"],
-        )
-        if ip_adapter_embeds is not None and "ip_to_k" in blk_params:
-            ek = linear(ip_adapter_embeds.astype(cfg.dtype), blk_params["ip_to_k"]["w"])
-            ev = linear(ip_adapter_embeds.astype(cfg.dtype), blk_params["ip_to_v"]["w"])
-            kw["ip_extra_kv"] = (ek, ev)
-        return kw
+    attn_kw = dict(
+        use_linear_projection=cfg.use_linear_projection,
+        gn_backend=be["gn"],
+        attn_backend=be["attn"],
+        geglu_backend=be["geglu"],
+        ip_embeds=ip_adapter_embeds,
+        ip_scale=ip_adapter_scale,
+    )
 
     # 2. conv_in
     h = conv2d(
@@ -322,11 +319,9 @@ def unet_fwd(
         for j, rn in enumerate(blk["resnets"]):
             h = L.resnet_block_fwd(rn, h, emb, groups=groups, gn_backend=be["gn"])
             if has_attn:
-                attp = blk["attentions"][j]
                 h = L.spatial_transformer_fwd(
-                    attp, h, context,
-                    heads=cfg.num_heads[i],
-                    **attn_kwargs(attp),
+                    blk["attentions"][j], h, context,
+                    heads=cfg.num_heads[i], **attn_kw,
                 )
             res_stack.append(h)
         if "downsample" in blk:
@@ -342,9 +337,8 @@ def unet_fwd(
     # 4. mid
     mid = params["mid_block"]
     h = L.resnet_block_fwd(mid["resnets"][0], h, emb, groups=groups, gn_backend=be["gn"])
-    attp = mid["attentions"][0]
     h = L.spatial_transformer_fwd(
-        attp, h, context, heads=cfg.num_heads[-1], **attn_kwargs(attp)
+        mid["attentions"][0], h, context, heads=cfg.num_heads[-1], **attn_kw
     )
     h = L.resnet_block_fwd(mid["resnets"][1], h, emb, groups=groups, gn_backend=be["gn"])
 
@@ -363,11 +357,9 @@ def unet_fwd(
             h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
             h = L.resnet_block_fwd(rn, h, emb, groups=groups, gn_backend=be["gn"])
             if has_attn:
-                attp = blk["attentions"][j]
                 h = L.spatial_transformer_fwd(
-                    attp, h, context,
-                    heads=cfg.num_heads[level],
-                    **attn_kwargs(attp),
+                    blk["attentions"][j], h, context,
+                    heads=cfg.num_heads[level], **attn_kw,
                 )
         if "upsample" in blk:
             h = L.upsample_fwd(blk["upsample"], h)

@@ -140,20 +140,24 @@ class StableDiffusionPipeline:
     def _unet_eps(
         self, state, i, latents, t, context, guidance_scale,
         control_image=None, control_scale=1.0,
+        ip_embeds=None, ip_scale=1.0,
     ):
         """One CFG-batched UNet evaluation + guidance combine, with
         optional ControlNet residual branch (SURVEY.md §3.4: controlnet
-        forward precedes each UNet forward)."""
+        forward precedes each UNet forward) and IP-Adapter image tokens."""
         lat_in = jnp.concatenate([latents, latents], axis=0)
         lat_in = self.scheduler.scale_model_input(state, lat_in, i)
         tt = jnp.broadcast_to(t, (lat_in.shape[0],))
         unet_kwargs = {}
+        if ip_embeds is not None:
+            unet_kwargs["ip_adapter_embeds"] = ip_embeds
+            unet_kwargs["ip_adapter_scale"] = ip_scale
         if control_image is not None and self.controlnet is not None:
             down_res, mid_res = self.controlnet(
                 lat_in, tt, context, control_image,
                 conditioning_scale=control_scale,
             )
-            unet_kwargs = dict(
+            unet_kwargs.update(
                 down_block_additional_residuals=down_res,
                 mid_block_additional_residual=mid_res,
             )
@@ -209,6 +213,8 @@ class StableDiffusionPipeline:
         strength: float = 0.8,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
+        ip_adapter_embeds: Optional[jnp.ndarray] = None,
+        ip_adapter_scale: float = 1.0,
         output_type: str = "np",  # 'np' | 'pil' | 'latent'
         callback_on_step_end: Optional[Callable] = None,
     ) -> PipelineOutput:
@@ -270,6 +276,7 @@ class StableDiffusionPipeline:
             and callback_on_step_end is None
             and start_index == 0
             and ctrl is None
+            and ip_adapter_embeds is None
         )
         if use_fused:
             if self._fused_loop is None:
@@ -288,6 +295,7 @@ class StableDiffusionPipeline:
                 eps = self._unet_eps(
                     state, i, latents, t, context, gs,
                     control_image=ctrl, control_scale=ctrl_scale,
+                    ip_embeds=ip_adapter_embeds, ip_scale=ip_adapter_scale,
                 )
                 if needs_noise:
                     key, sub = jax.random.split(key)

@@ -1,0 +1,3 @@
+from sfast_tpu.quant.dynamic_quant import quantize_linear_params
+
+__all__ = ["quantize_linear_params"]

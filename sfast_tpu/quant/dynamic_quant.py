@@ -1,0 +1,62 @@
+"""Param-tree int8 quantization transform.
+
+User-facing analog of ``torch.quantization.quantize_dynamic(unet,
+{nn.Linear}, qint8)`` on the reference (``README.md:276-287``): one call
+converts every (eligible) linear weight in a model's param tree to int8 +
+per-channel scales.  The forward path picks quantized weights up
+transparently (``models/layers.apply_linear``), so the transform composes
+with ``compile`` and LoRA merge-on-top is still possible by dequantizing
+first.
+"""
+
+from typing import Tuple
+
+import jax
+
+from sfast_tpu.ops.quant import quantize_weight
+
+# linear parents quantized by default — attention projections and MLPs
+# carry ~90% of SD UNet linear weights (conv weights stay bf16, like the
+# reference quantizing only nn.Linear)
+_DEFAULT_TARGETS = (
+    "to_q",
+    "to_k",
+    "to_v",
+    "to_out",
+    "proj",
+    "out",
+    "fc1",
+    "fc2",
+    "proj_in",
+    "proj_out",
+)
+
+
+def quantize_linear_params(
+    params,
+    targets: Tuple[str, ...] = _DEFAULT_TARGETS,
+    min_features: int = 64,
+):
+    """Return a new tree where every 2-D ``w`` under a target key becomes
+    ``{"w_q": int8, "w_scale": f32}`` (bias preserved)."""
+
+    def rebuild(tree, path=()):
+        if isinstance(tree, dict):
+            if (
+                "w" in tree
+                and getattr(tree["w"], "ndim", 0) == 2
+                and path
+                and path[-1] in targets
+                and tree["w"].shape[0] >= min_features
+            ):
+                wq, scale = quantize_weight(tree["w"])
+                out = {k: v for k, v in tree.items() if k != "w"}
+                out["w_q"] = wq
+                out["w_scale"] = scale
+                return out
+            return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [rebuild(v, path + (i,)) for i, v in enumerate(tree)]
+        return tree
+
+    return rebuild(params)

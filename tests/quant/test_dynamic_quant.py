@@ -1,0 +1,89 @@
+"""Int8 weight-only quantization (≙ reference
+tests/operators/test_cutlass_qlinear.py + README.md:267-289 usage)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.ops.quant import int8_linear, quantize_weight
+from sfast_tpu.quant import quantize_linear_params
+from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+
+CCFG = CompilationConfig.Default().replace(enable_pallas=False)
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.key(0), (64, 32), jnp.float32)
+    wq, scale = quantize_weight(w)
+    assert wq.dtype == jnp.int8
+    deq = wq.astype(jnp.float32) * scale
+    # per-channel int8: worst-case error = scale/2 per element
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+
+
+def test_int8_linear_close_to_fp(tolerance=2e-2):
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.normal(k1, (8, 64), jnp.float32)
+    w = jax.random.normal(k2, (64, 32), jnp.float32) * 0.1
+    b = jax.random.normal(k3, (32,), jnp.float32)
+    wq, scale = quantize_weight(w)
+    out = int8_linear(x, wq, scale, b)
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=tolerance, atol=tolerance)
+
+
+def test_quantize_unet_params_structure():
+    unet = create_unet(TINY_UNET, jax.random.key(0))
+    qparams = quantize_linear_params(unet.params, min_features=1)
+    attn = qparams["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]
+    assert "w_q" in attn["to_q"] and attn["to_q"]["w_q"].dtype == jnp.int8
+    assert "w" not in attn["to_q"]
+    # convs untouched
+    assert "w" in qparams["conv_in"]
+
+
+def test_quantized_unet_runs_and_is_close():
+    cfg = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+    unet = create_unet(cfg, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4), jnp.float32)
+    t = jnp.array([100.0])
+    ctx = jax.random.normal(jax.random.key(2), (1, 7, 64), jnp.float32)
+    ref = unet(x, t, ctx)
+
+    q = unet.replace_params(quantize_linear_params(unet.params, min_features=1))
+    out = q(x, t, ctx)
+    assert out.shape == ref.shape
+    # int8 error is small relative to activations
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (
+        np.abs(np.asarray(ref)).mean() + 1e-6
+    )
+    assert rel < 0.1, rel
+
+
+def test_quantized_memory_halves():
+    unet = create_unet(TINY_UNET, jax.random.key(0))
+
+    def nbytes(t):
+        return sum(
+            np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(t)
+        )
+
+    before = nbytes(unet.params)
+    after = nbytes(quantize_linear_params(unet.params, min_features=1))
+    assert after < before
+
+
+def test_compiled_quantized_model():
+    cfg = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+    unet = create_unet(cfg, jax.random.key(0))
+    q = unet.replace_params(quantize_linear_params(unet.params, min_features=1))
+    compiled = sfast_tpu.compile_unet(q, CCFG)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4), jnp.float32)
+    out = compiled(x, jnp.array([1.0]), jnp.zeros((1, 7, 64)))
+    assert bool(jnp.isfinite(out).all())
+    assert compiled.cache_size == 1

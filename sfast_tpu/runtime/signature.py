@@ -88,7 +88,16 @@ def hash_arg(arg: Any, shape_sensitive: bool = True) -> int:
 def call_signature(args, kwargs, shape_sensitive: bool = True) -> Tuple:
     """Signature for a full call: ``(args, kwargs)`` — the dispatch key
     (reference ``cuda/graphs.py:31``: ``(training, hash args, hash kwargs)``;
-    we have no training-mode flag on pure functions)."""
+    we have no training-mode flag on pure functions).
+
+    Uses the native C recursion (``sfast_tpu._C``) when built — this runs
+    on every compiled-model call, the same role the reference gives its
+    C++ runtime pieces."""
+    if _C is not None and hasattr(_C, "call_signature"):
+        try:
+            return _C.call_signature(tuple(args), kwargs, shape_sensitive)
+        except Exception:  # pragma: no cover - e.g. exotic dataclass args
+            pass
     return (
         arg_signature(tuple(args), shape_sensitive),
         arg_signature(kwargs, shape_sensitive),

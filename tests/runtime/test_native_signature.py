@@ -1,0 +1,68 @@
+"""Native (_C) vs Python signature parity — the C path runs on every
+compiled-model dispatch, so it must agree with the Python semantics
+byte-for-byte."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfast_tpu.runtime import signature as S
+
+_C = pytest.importorskip("sfast_tpu._C")
+
+
+CASES = [
+    1,
+    1.5,
+    True,
+    None,
+    "x",
+    b"y",
+    jnp.zeros((2, 3)),
+    jnp.zeros((2, 3), jnp.bfloat16),
+    np.float32(2.5),
+    np.zeros(()),
+    [1, 2, (3, None)],
+    {"b": jnp.ones((1,)), "a": 2},
+    {"nested": {"x": [jnp.zeros((4,)), "s"]}},
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[str(i) for i in range(len(CASES))])
+@pytest.mark.parametrize("shape_sensitive", [True, False])
+def test_c_matches_python(case, shape_sensitive):
+    py = S.arg_signature(case, shape_sensitive)
+    c = _C.arg_signature(case, shape_sensitive=shape_sensitive)
+    assert py == c, (py, c)
+    assert hash(py) == hash(c)
+
+
+def test_call_signature_parity():
+    args = (jnp.zeros((2,)), 5)
+    kwargs = {"k": [1.0, jnp.ones((3, 3))]}
+    py = (
+        S.arg_signature(args, True),
+        S.arg_signature(kwargs, True),
+    )
+    c = _C.call_signature(args, kwargs, shape_sensitive=True)
+    assert py == c
+
+
+def test_opaque_objects():
+    class Foo:
+        pass
+
+    assert S.arg_signature(Foo()) == _C.arg_signature(Foo())
+
+
+def test_dispatch_uses_native(monkeypatch):
+    """call_signature routes through _C when present."""
+    called = {}
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return ("sig", "sig")
+
+    monkeypatch.setattr(S, "_C", type("M", (), {"call_signature": staticmethod(spy)}))
+    S.call_signature((1,), {})
+    assert called.get("yes")

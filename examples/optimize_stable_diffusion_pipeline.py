@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""SD1.5 text-to-image with sfast_tpu — the analog of the reference's
+``examples/optimize_stable_diffusion_pipeline.py``.
+
+Two modes:
+- with a local diffusers checkpoint + diffusers installed: converts the
+  torch pipeline and compiles it;
+- without (default): builds the native SD1.5 architecture with random
+  weights — exercises the full compile/runtime path and reports honest
+  timings (weight values don't change latency).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+import sfast_tpu
+from sfast_tpu import CompilationConfig
+from sfast_tpu.profile import IterationProfiler
+from sfast_tpu.utils.term_image import print_image
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None, help="diffusers checkpoint dir")
+    p.add_argument("--prompt", default="a photo of an astronaut riding a horse")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--guidance", type=float, default=7.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--warmups", type=int, default=1)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--fuse-loop", action="store_true", default=True)
+    p.add_argument("--no-fuse-loop", dest="fuse_loop", action="store_false")
+    p.add_argument("--quantize", action="store_true", help="int8 linears")
+    p.add_argument("--show", action="store_true", help="render to terminal")
+    return p.parse_args()
+
+
+def load_pipeline(args):
+    if args.model:
+        from diffusers import StableDiffusionPipeline as TorchSD
+
+        return TorchSD.from_pretrained(args.model)
+    from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet
+    from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae
+    from sfast_tpu.models.clip_text import SD15_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+
+    dec, enc = create_vae(SD_VAE)
+    return StableDiffusionPipeline(
+        unet=create_unet(SD15_UNET),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(SD15_TEXT_ENCODER),
+        scheduler=DPMSolverMultistepScheduler(),
+    )
+
+
+def main():
+    args = parse_args()
+    pipe = load_pipeline(args)
+
+    config = CompilationConfig.Default().replace(
+        fuse_denoising_loop=args.fuse_loop
+    )
+    pipe = sfast_tpu.compile(pipe, config)
+
+    if args.quantize:
+        from sfast_tpu.quant import quantize_linear_params
+
+        pipe.unet.update_params(quantize_linear_params(pipe.unet.params))
+
+    if getattr(pipe, "tokenizer", None) is not None:
+        kw = dict(prompt=args.prompt)
+    else:
+        kw = dict(
+            prompt_ids=jax.random.randint(
+                jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32
+            )
+        )
+    kw.update(
+        height=args.height, width=args.width,
+        num_inference_steps=args.steps, guidance_scale=args.guidance,
+    )
+
+    for i in range(args.warmups):
+        t0 = time.time()
+        pipe(seed=args.seed, **kw)
+        print(f"warmup (incl. compile): {time.time()-t0:.1f} s")
+
+    times = []
+    for i in range(args.repeats):
+        prof = IterationProfiler() if not args.fuse_loop else None
+        t0 = time.time()
+        out = pipe(
+            seed=args.seed + i,
+            callback_on_step_end=prof,
+            **kw,
+        )
+        dt = time.time() - t0
+        times.append(dt)
+        extra = f", {prof.summary()}" if prof else ""
+        print(f"run {i}: {dt*1e3:.1f} ms{extra}")
+
+    best = min(times)
+    print(f"best e2e: {best*1e3:.1f} ms ({args.steps/best:.2f} it/s equivalent)")
+    if args.show:
+        print_image(out.images[0])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Converter correctness via round-trip: our params → diffusers-format
+state dict → back through convert_unet_params → identical tree (values
+and structure).  Catches naming drift in either direction without
+needing diffusers installed."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfast_tpu.interop.convert_unet import convert_unet_params
+from sfast_tpu.interop.export_unet import export_unet_state_dict
+from sfast_tpu.models.unet_2d_condition import (
+    SDXL_UNET,
+    TINY_UNET,
+    create_unet,
+    init_unet_params,
+)
+
+
+def _assert_trees_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _assert_trees_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_trees_equal(x, y, f"{path}[{i}]")
+    else:
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=path,
+        )
+
+
+def test_sd15_style_roundtrip():
+    cfg = dataclasses.replace(TINY_UNET, dtype=jnp.float32)
+    params = init_unet_params(jax.random.key(0), cfg)
+    sd = export_unet_state_dict(params, cfg)
+    back = convert_unet_params(sd, cfg)
+    _assert_trees_equal(params, back)
+
+
+def test_sdxl_style_roundtrip():
+    cfg = dataclasses.replace(
+        SDXL_UNET,
+        block_out_channels=(32, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        transformer_layers_per_block=(1, 2),
+        num_heads=(4, 4),
+        cross_attention_dim=32,
+        projection_class_embeddings_input_dim=96,
+        layers_per_block=1,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    params = init_unet_params(jax.random.key(1), cfg)
+    sd = export_unet_state_dict(params, cfg)
+    # SDXL-style: linear projections + add_embedding present
+    assert "add_embedding.linear_1.weight" in sd
+    assert sd["down_blocks.1.attentions.0.proj_in.weight"].ndim == 2
+    back = convert_unet_params(sd, cfg)
+    _assert_trees_equal(params, back)
+
+
+def test_forward_equivalence_after_roundtrip():
+    cfg = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+    unet = create_unet(cfg, jax.random.key(0))
+    sd = export_unet_state_dict(unet.params, cfg)
+    back = convert_unet_params(sd, dataclasses.replace(cfg, dtype=jnp.float32))
+    unet2 = unet.replace_params(back)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4), jnp.float32)
+    t = jnp.array([3.0])
+    c = jax.random.normal(jax.random.key(2), (1, 7, 64), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(unet(x, t, c)), np.asarray(unet2(x, t, c)), rtol=1e-4, atol=1e-5
+    )

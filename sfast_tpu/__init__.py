@@ -43,14 +43,22 @@ setup_environment()
 from sfast_tpu.config import CompilationConfig  # noqa: E402
 from sfast_tpu.compilers.diffusion_pipeline_compiler import (  # noqa: E402
     compile,
+    compile_model,
     compile_unet,
     compile_vae,
 )
+# Generic function-compilation API — the analog of the reference's dynamo
+# backends (`torch.compile(backend=sfast_jit_trace)`,
+# dynamo/backends/sfast_jit.py:14-64): wrap any pure function in the
+# lazy per-signature executable cache.
+from sfast_tpu.runtime.tracing import lazy_jit  # noqa: E402
 
 __all__ = [
     "__version__",
     "CompilationConfig",
     "compile",
+    "compile_model",
     "compile_unet",
     "compile_vae",
+    "lazy_jit",
 ]

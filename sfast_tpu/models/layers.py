@@ -70,13 +70,24 @@ def _np_dtype(dtype):
     return jnp.dtype(dtype)
 
 
+def _fast_cast(arr: "_np.ndarray", dtype) -> "_np.ndarray":
+    """f32 → target dtype; bf16 via vectorized bit ops (ml_dtypes' astype
+    is a scalar loop — ~4 minutes for an SD1.5 UNet's 859M params)."""
+    np_dtype = _np_dtype(dtype)
+    if np_dtype == jnp.bfloat16:
+        bits = arr.view(_np.uint32)
+        rounded = bits + _np.uint32(0x7FFF) + ((bits >> 16) & _np.uint32(1))
+        return (rounded >> 16).astype(_np.uint16).view(np_dtype)
+    return arr.astype(np_dtype)
+
+
 def _randn(rng, shape, dtype, scale: float):
     """Host numpy array — stays on host until the model-level bulk
     device_put (one transfer for the whole tree instead of one per leaf,
     which matters enormously over a tunneled TPU)."""
     gen = as_host_rng(rng)
     arr = gen.standard_normal(shape, dtype=_np.float32) * scale
-    return arr.astype(_np_dtype(dtype))
+    return _fast_cast(arr, dtype)
 
 
 def init_linear(rng, din: int, dout: int, *, bias: bool = True, dtype=jnp.bfloat16):

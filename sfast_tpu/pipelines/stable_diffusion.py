@@ -220,6 +220,18 @@ class StableDiffusionPipeline:
     ) -> PipelineOutput:
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
+        real_b = prompt_ids.shape[0]
+        if self._ccfg.batch_buckets:
+            # pad the prompt batch up to its bucket so executable count
+            # stays bounded (runtime/shape_bucket.py); padded rows dropped
+            # from the output
+            from sfast_tpu.runtime.shape_bucket import pad_batch
+
+            prompt_ids, _ = pad_batch(prompt_ids, self._ccfg.batch_buckets)
+            if negative_prompt_ids is not None:
+                negative_prompt_ids, _ = pad_batch(
+                    negative_prompt_ids, self._ccfg.batch_buckets
+                )
         b = prompt_ids.shape[0]
         key = jax.random.key(seed)
         vae_cfg = self.vae_config
@@ -309,10 +321,12 @@ class StableDiffusionPipeline:
                     callback_on_step_end(self, i, t, {"latents": latents})
 
         if output_type == "latent":
-            return PipelineOutput(latents)
+            return PipelineOutput(latents[:real_b])
 
+        # decode the full (possibly bucket-padded) batch so the decode
+        # executable is bucket-keyed too; drop padding rows at the end
         image_out = self.vae(latents / vae_cfg.scaling_factor)
-        image_out = denormalize_to_uint8(image_out)
+        image_out = denormalize_to_uint8(image_out)[:real_b]
         if output_type == "pil":
             return PipelineOutput(to_pil(image_out))
         return PipelineOutput(np.asarray(image_out))

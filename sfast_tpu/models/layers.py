@@ -112,6 +112,16 @@ def init_norm(c: int, *, dtype=jnp.float32):
     }
 
 
+def apply_conv(p: Params, x: jax.Array, **kw) -> jax.Array:
+    """Conv through a param dict — picks up W8A8 int8-quantized conv
+    weights (``quant/dynamic_quant.quantize_conv_params``)."""
+    if "w_q" in p:
+        from sfast_tpu.ops.quant import conv2d_w8a8
+
+        return conv2d_w8a8(x, p["w_q"], p["w_scale"], p.get("b"), **kw)
+    return conv2d(x, p["w"], p.get("b"), **kw)
+
+
 def apply_linear(p: Params, x: jax.Array, act: Optional[str] = None) -> jax.Array:
     """Linear through a param dict — transparently picks up int8
     weight-only quantized weights (``quant/dynamic_quant.py``)."""
@@ -241,7 +251,7 @@ def resnet_block_fwd(
         x, p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, eps=eps,
         act="silu", backend=gn_backend,
     )
-    h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], padding=1)
+    h = apply_conv(p["conv1"], h, padding=1)
     if temb is not None and "time_emb_proj" in p:
         te = apply_linear(
             p["time_emb_proj"],
@@ -252,10 +262,10 @@ def resnet_block_fwd(
         h, p["norm2"]["scale"], p["norm2"]["bias"], groups=groups, eps=eps,
         act="silu", backend=gn_backend,
     )
-    h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"], padding=1)
+    h = apply_conv(p["conv2"], h, padding=1)
     skip = x
     if "conv_shortcut" in p:
-        skip = conv2d(x, p["conv_shortcut"]["w"], p["conv_shortcut"]["b"])
+        skip = apply_conv(p["conv_shortcut"], x)
     out = (skip.astype(jnp.float32) + h.astype(jnp.float32)) / output_scale
     return out.astype(x.dtype)
 
@@ -487,7 +497,7 @@ def init_downsample(rng, c: int, *, dtype=jnp.bfloat16) -> Params:
 
 
 def downsample_fwd(p: Params, x: jax.Array) -> jax.Array:
-    return conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1)
+    return apply_conv(p["conv"], x, stride=2, padding=1)
 
 
 def init_upsample(rng, c: int, *, dtype=jnp.bfloat16) -> Params:
@@ -499,4 +509,4 @@ def upsample_fwd(p: Params, x: jax.Array) -> jax.Array:
     # nearest-neighbor 2x without gather: broadcast + reshape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     x = x.reshape(b, h * 2, w * 2, c)
-    return conv2d(x, p["conv"]["w"], p["conv"]["b"], padding=1)
+    return apply_conv(p["conv"], x, padding=1)

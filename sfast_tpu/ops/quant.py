@@ -24,6 +24,67 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return wq, scale.astype(jnp.float32)
 
 
+def quantize_conv_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """HWIO conv weight → (int8 weight, per-out-channel f32 scale)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale.reshape(1, 1, 1, -1).astype(jnp.float32)
+
+
+def dynamic_quant_per_tensor(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """bf16/f32 activations → (int8, scalar f32 scale), computed on the
+    fly (the 'dynamic' in dynamic quantization)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def conv2d_w8a8(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride=1,
+    padding=0,
+    act: Optional[str] = None,
+    residual: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-int8 conv (W8A8): dynamic per-tensor activation quant +
+    per-channel weight scales; int8×int8→int32 on the MXU (2× the bf16
+    rate on v5e — the compute-side extension of the reference's
+    memory-only W8A16, cutlass_qlinear_dynamic_kernel.cu).  Experimental:
+    per-tensor activation scaling; validate quality per-model."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    xq, x_scale = dynamic_quant_per_tensor(x)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (x_scale * w_scale)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act == "relu":
+        y = jax.nn.relu(y)
+    elif act is not None:
+        raise ValueError(act)
+    return y.astype(x.dtype)
+
+
 def int8_linear(
     x: jax.Array,
     wq: jax.Array,

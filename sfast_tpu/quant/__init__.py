@@ -1,3 +1,6 @@
-from sfast_tpu.quant.dynamic_quant import quantize_linear_params
+from sfast_tpu.quant.dynamic_quant import (
+    quantize_conv_params,
+    quantize_linear_params,
+)
 
-__all__ = ["quantize_linear_params"]
+__all__ = ["quantize_linear_params", "quantize_conv_params"]

@@ -60,3 +60,42 @@ def quantize_linear_params(
         return tree
 
     return rebuild(params)
+
+
+# conv parents quantized by the W8A8 transform (resnet/resampling convs —
+# the FLOP carriers; conv_in/out & proj convs excluded by default for
+# quality at the pixel boundaries)
+_CONV_TARGETS = ("conv1", "conv2", "conv_shortcut", "conv")
+
+
+def quantize_conv_params(
+    params,
+    targets: Tuple[str, ...] = _CONV_TARGETS,
+    min_channels: int = 64,
+):
+    """W8A8 conv transform (EXPERIMENTAL): every 4-D HWIO ``w`` under a
+    target key becomes int8 + per-out-channel scales; the forward runs
+    full-int8 convs with dynamic per-tensor activation quantization
+    (``ops.quant.conv2d_w8a8`` — 2× MXU rate on v5e)."""
+    from sfast_tpu.ops.quant import quantize_conv_weight
+
+    def rebuild(tree, path=()):
+        if isinstance(tree, dict):
+            if (
+                "w" in tree
+                and getattr(tree["w"], "ndim", 0) == 4
+                and path
+                and path[-1] in targets
+                and tree["w"].shape[-2] >= min_channels
+            ):
+                wq, scale = quantize_conv_weight(tree["w"])
+                out = {k: v for k, v in tree.items() if k != "w"}
+                out["w_q"] = wq
+                out["w_scale"] = scale
+                return out
+            return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [rebuild(v, path + (i,)) for i, v in enumerate(tree)]
+        return tree
+
+    return rebuild(params)

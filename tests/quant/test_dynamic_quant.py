@@ -87,3 +87,37 @@ def test_compiled_quantized_model():
     out = compiled(x, jnp.array([1.0]), jnp.zeros((1, 7, 64)))
     assert bool(jnp.isfinite(out).all())
     assert compiled.cache_size == 1
+
+
+def test_w8a8_conv_close_to_fp():
+    from sfast_tpu.ops.quant import conv2d_w8a8, quantize_conv_weight
+    from sfast_tpu.ops.conv import conv2d
+
+    k1, k2 = jax.random.split(jax.random.key(7))
+    x = jax.random.normal(k1, (1, 8, 8, 32), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 32, 32), jnp.float32) * 0.1
+    ref = conv2d(x, w, None, padding=1)
+    wq, ws = quantize_conv_weight(w)
+    out = conv2d_w8a8(x, wq, ws, None, padding=1)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (
+        np.abs(np.asarray(ref)).mean() + 1e-6
+    )
+    assert rel < 0.05, rel
+
+
+def test_w8a8_unet_runs():
+    cfg = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+    unet = create_unet(cfg, jax.random.key(0))
+    from sfast_tpu.quant import quantize_conv_params
+
+    q = unet.replace_params(
+        quantize_conv_params(unet.params, min_channels=1)
+    )
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4), jnp.float32)
+    out = q(x, jnp.array([5.0]), jnp.zeros((1, 7, 64)))
+    ref = unet(x, jnp.array([5.0]), jnp.zeros((1, 7, 64)))
+    assert out.shape == ref.shape
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (
+        np.abs(np.asarray(ref)).mean() + 1e-6
+    )
+    assert rel < 0.2, rel

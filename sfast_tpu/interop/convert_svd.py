@@ -11,7 +11,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from sfast_tpu.models.unet_spatio_temporal import SVDUNetConfig
-from sfast_tpu.interop.torch_bridge import torch_to_jnp, vec, linear_w
+from sfast_tpu.interop.torch_bridge import torch_to_jnp, vec
 from sfast_tpu.interop.convert_unet import (
     _conv,
     _lin,

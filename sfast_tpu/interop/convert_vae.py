@@ -10,7 +10,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from sfast_tpu.models.autoencoder_kl import VAEConfig
-from sfast_tpu.interop.torch_bridge import conv_w, linear_w, vec
+from sfast_tpu.interop.torch_bridge import linear_w, vec
 from sfast_tpu.interop.convert_unet import _conv, _norm, _resnet
 
 

@@ -16,7 +16,6 @@ import logging
 import jax.numpy as jnp
 
 from sfast_tpu.config import CompilationConfig
-from sfast_tpu.models.module import Model
 
 logger = logging.getLogger(__name__)
 

@@ -6,8 +6,6 @@ runs pure JAX afterwards, so the bridge only needs host-side conversion,
 not a zero-copy device path.
 """
 
-from typing import Any
-
 import numpy as np
 import jax.numpy as jnp
 

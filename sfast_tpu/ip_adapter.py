@@ -15,7 +15,7 @@ first IP call compiles once per signature like any new model.
 """
 
 import logging
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ see ``ops/attention.py``); everything else is MXU matmuls.
 """
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from sfast_tpu.models.module import Model
 from sfast_tpu.models import layers as L
 from sfast_tpu.ops.layer_norm import layer_norm
 from sfast_tpu.ops.linear import linear
-from sfast_tpu.ops.attention import dot_product_attention
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,6 @@ Shape fallback to the unfused XLA path mirrors the reference's fallback
 lambda (``kernel.cu:430-440``).
 """
 
-import functools
 from typing import Optional
 
 import jax

@@ -16,7 +16,7 @@ SURVEY.md §2.3: the reference has none of this; §7 stage 7 calls for it
 as the optional capability-at-scale extension.
 """
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

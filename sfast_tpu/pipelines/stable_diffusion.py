@@ -17,7 +17,7 @@ Two execution modes:
 """
 
 import logging
-from typing import Any, Callable, List, Optional, Union
+from typing import Callable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ import numpy as np
 
 from sfast_tpu.models.module import Model
 from sfast_tpu.pipelines.stable_diffusion import PipelineOutput, StableDiffusionPipeline
-from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.utils.image import denormalize_to_uint8, to_pil
 
 

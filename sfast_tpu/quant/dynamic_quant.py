@@ -11,8 +11,6 @@ first.
 
 from typing import Tuple
 
-import jax
-
 from sfast_tpu.ops.quant import quantize_weight
 
 # linear parents quantized by default — attention projections and MLPs

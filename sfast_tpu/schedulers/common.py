@@ -16,7 +16,7 @@ prediction types).
 """
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,7 @@ updates, so the whole thing stays branch-free under jit / fori_loop.
 """
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ The diffusion loss follows the standard LDM recipe the example uses:
 sample t, noise the latents, predict eps, MSE.
 """
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Counterparts of the reference's AOT graph printer
 """
 
 from collections import Counter
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax
 

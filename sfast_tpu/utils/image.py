@@ -6,7 +6,7 @@ Here the [-1,1]→uint8 conversion happens on-device inside the decode
 executable; only the final uint8 tensor crosses to host.
 """
 
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -91,10 +91,39 @@ class CompiledModel:
             self._frozen = False
         global_executable_cache().register(self.name, self._call)
 
+    # sentinel: set after a compile failure — the model then runs eagerly
+    # forever, mirroring the reference's per-module `cannot_compile` state
+    # (hooks/module_jit_hook.py:54-61, SURVEY.md §5 degrade-gracefully)
+    _cannot_compile = False
+
     def __call__(self, *args, **kwargs):
-        if self._frozen:
-            return self._call(*args, **kwargs)
-        return self._call(self.params, *args, **kwargs)
+        if not self._cannot_compile:
+            try:
+                if self._frozen:
+                    return self._call(*args, **kwargs)
+                return self._call(self.params, *args, **kwargs)
+            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+                # Shape/tracing errors in user inputs should surface;
+                # compiler/runtime failures degrade to eager.
+                if not self._is_compile_failure(e):
+                    raise
+                logger.warning(
+                    "sfast_tpu: compilation of %s failed (%s); falling back "
+                    "to uncompiled execution for this model",
+                    self.name,
+                    type(e).__name__,
+                )
+                self._cannot_compile = True
+        apply_fn = self.model.apply_fn(self.config)
+        return apply_fn(self.params, *args, **kwargs)
+
+    @staticmethod
+    def _is_compile_failure(e: Exception) -> bool:
+        msg = str(e).lower()
+        return any(
+            s in msg
+            for s in ("compilation", "mosaic", "xla", "resource exhausted", "hlo")
+        )
 
     def warmup(self, *args, **kwargs):
         if self._frozen:

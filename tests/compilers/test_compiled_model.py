@@ -85,3 +85,38 @@ def test_compile_idempotent():
     first = pipe.unet
     compile(pipe)
     assert pipe.unet is first
+
+
+def test_compile_failure_falls_back_to_eager(monkeypatch, caplog):
+    """≙ reference module_jit_hook 'cannot_compile' sentinel: a compiler
+    failure degrades to eager execution permanently instead of raising."""
+    import logging
+
+    m = compile_model(_toy_model())
+    x = jnp.ones((2, 4))
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("XLA compilation failed: mosaic blew up")
+
+    monkeypatch.setattr(m, "_call", boom)
+    with caplog.at_level(logging.WARNING):
+        out = m(x)
+    np.testing.assert_allclose(np.asarray(out), np.ones((2, 4)))
+    assert m._cannot_compile
+    # second call goes straight to eager (no more attempts)
+    m(x)
+    assert calls["n"] == 1
+
+
+def test_user_errors_still_raise(monkeypatch):
+    m = compile_model(_toy_model())
+
+    def user_err(*a, **k):
+        raise ValueError("shapes do not match for dot_general")
+
+    monkeypatch.setattr(m, "_call", user_err)
+    with pytest.raises(ValueError):
+        m(jnp.ones((2, 4)))

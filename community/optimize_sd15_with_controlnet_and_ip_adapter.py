@@ -8,6 +8,12 @@ residuals while an image prompt steers appearance via IP-Adapter
 decoupled cross-attention — all inside the same per-step executables.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -3,6 +3,12 @@
 optimize_lcm_lora.py).  Tiny step counts stress fixed per-call overhead —
 exactly what the executable cache + fused loop eliminate."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -10,6 +10,12 @@ Two modes:
   timings (weight values don't change latency).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -3,6 +3,12 @@
 examples/optimize_stable_video_diffusion_pipeline.py): 25-frame clip with
 chunked VAE decode (decode_chunk_size)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -9,6 +9,12 @@ to the caller (pass pre-encoded latents + text embeddings); this example
 trains on synthetic data to demonstrate the path end-to-end.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -34,16 +34,40 @@ STEPS = 50
 REPEATS = 3
 
 
+def _zeros_on_device(init_fn):
+    """Placeholder weights created ON device in one executable.
+
+    TPU latency is weight-value independent (no denormal/data-dependent
+    execution), and shipping 2+ GB of random host weights through the
+    tunnel costs minutes; real checkpoints load through
+    sfast_tpu.interop converters."""
+    host = init_fn()
+    shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
+    )
+    del host
+    return jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+    )()
+
+
 def build_pipeline():
-    # Random weights: latency is weight-value independent; real checkpoints
-    # load through sfast_tpu.interop converters.
-    rngs = jax.random.split(jax.random.key(0), 3)
-    dec, enc = create_vae(SD_VAE, rngs[0])
+    from sfast_tpu.models.unet_2d_condition import init_unet_params
+    from sfast_tpu.models.autoencoder_kl import init_vae_params
+    from sfast_tpu.models.clip_text import init_clip_text_params
+
+    unet_p = _zeros_on_device(lambda: init_unet_params(0, SD15_UNET))
+    vae_p = _zeros_on_device(lambda: init_vae_params(1, SD_VAE))
+    te_p = _zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER))
+
+    dec, enc = create_vae(SD_VAE, params=vae_p)
     pipe = StableDiffusionPipeline(
-        unet=create_unet(SD15_UNET, rngs[1]),
+        unet=create_unet(SD15_UNET, params=unet_p),
         vae=dec,
         vae_encode=enc,
-        text_encoder=create_text_encoder(SD15_TEXT_ENCODER, rngs[2]),
+        text_encoder=create_text_encoder(SD15_TEXT_ENCODER, params=te_p),
         scheduler=DPMSolverMultistepScheduler(),
         dtype=jnp.bfloat16,
     )

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Extra tracked benchmark configs (BASELINE.md): LCM 4-step, SDXL 1024².
+
+The driver runs bench.py (SD1.5 headline); these are run manually and
+recorded in STATUS.md.  Same timing discipline: block_until_ready, warmup
+excluded, median of repeats, weights are on-device placeholders (timing
+is weight-value independent).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+
+
+def zeros_on_device(init_fn):
+    host = init_fn()
+    shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
+    )
+    del host
+    return jax.jit(
+        lambda: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )()
+
+
+def bench_lcm(steps=4, size=512, repeats=3):
+    from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
+    from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
+    from sfast_tpu.models.clip_text import (
+        SD15_TEXT_ENCODER,
+        create_text_encoder,
+        init_clip_text_params,
+    )
+    from sfast_tpu.schedulers import LCMScheduler
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+
+    dec, enc = create_vae(SD_VAE, params=zeros_on_device(lambda: init_vae_params(0, SD_VAE)))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(SD15_UNET, params=zeros_on_device(lambda: init_unet_params(1, SD15_UNET))),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(
+            SD15_TEXT_ENCODER,
+            params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
+        ),
+        scheduler=LCMScheduler(),
+    )
+    sfast_tpu.compile(pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True))
+    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
+    kw = dict(prompt_ids=ids, height=size, width=size,
+              num_inference_steps=steps, guidance_scale=1.0)
+    pipe(seed=0, **kw)
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        out = pipe(seed=i, **kw)
+        assert out.images.shape[1] == size
+        times.append((time.time() - t0) * 1e3)
+    return {"metric": f"sd15_lcm{steps}_{size}_e2e_ms",
+            "value": round(sorted(times)[len(times) // 2], 1), "unit": "ms"}
+
+
+def bench_sdxl(steps=30, size=1024, repeats=3):
+    from sfast_tpu.models.unet_2d_condition import SDXL_UNET, create_unet, init_unet_params
+    from sfast_tpu.models.autoencoder_kl import SDXL_VAE, create_vae, init_vae_params
+    from sfast_tpu.models.clip_text import (
+        SD15_TEXT_ENCODER,
+        SDXL_TEXT_ENCODER_2,
+        create_text_encoder,
+        init_clip_text_params,
+    )
+    from sfast_tpu.schedulers import EulerDiscreteScheduler
+    from sfast_tpu.pipelines.stable_diffusion_xl import StableDiffusionXLPipeline
+
+    dec, enc = create_vae(SDXL_VAE, params=zeros_on_device(lambda: init_vae_params(0, SDXL_VAE)))
+    pipe = StableDiffusionXLPipeline(
+        unet=create_unet(SDXL_UNET, params=zeros_on_device(lambda: init_unet_params(1, SDXL_UNET))),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(
+            SD15_TEXT_ENCODER,
+            params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
+        ),
+        text_encoder_2=create_text_encoder(
+            SDXL_TEXT_ENCODER_2,
+            params=zeros_on_device(lambda: init_clip_text_params(3, SDXL_TEXT_ENCODER_2)),
+        ),
+        scheduler=EulerDiscreteScheduler(),
+    )
+    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
+    kw = dict(prompt_ids=ids, height=size, width=size, num_inference_steps=steps)
+    t0 = time.time()
+    pipe(seed=0, **kw)
+    warm = time.time() - t0
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        out = pipe(seed=i, **kw)
+        assert out.images.shape[1] == size
+        times.append((time.time() - t0) * 1e3)
+    med = sorted(times)[len(times) // 2]
+    return {"metric": f"sdxl_{size}_{steps}step_e2e_ms", "value": round(med, 1),
+            "unit": "ms", "warmup_s": round(warm, 1),
+            "its_per_s": round(steps / (med / 1e3), 2)}
+
+
+def bench_controlnet(steps=30, size=512, repeats=3):
+    from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
+    from sfast_tpu.models.controlnet import (
+        SD15_CONTROLNET,
+        create_controlnet,
+        init_controlnet_params,
+    )
+    from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
+    from sfast_tpu.models.clip_text import (
+        SD15_TEXT_ENCODER,
+        create_text_encoder,
+        init_clip_text_params,
+    )
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    import numpy as np
+
+    dec, enc = create_vae(SD_VAE, params=zeros_on_device(lambda: init_vae_params(0, SD_VAE)))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(SD15_UNET, params=zeros_on_device(lambda: init_unet_params(1, SD15_UNET))),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(
+            SD15_TEXT_ENCODER,
+            params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
+        ),
+        controlnet=create_controlnet(
+            SD15_CONTROLNET,
+            params=zeros_on_device(lambda: init_controlnet_params(3, SD15_CONTROLNET)),
+        ),
+        scheduler=DPMSolverMultistepScheduler(),
+    )
+    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
+    control = np.zeros((1, size, size, 3), np.uint8)
+    kw = dict(prompt_ids=ids, height=size, width=size, num_inference_steps=steps,
+              control_image=control)
+    pipe(seed=0, **kw)
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        out = pipe(seed=i, **kw)
+        assert out.images.shape[1] == size
+        times.append((time.time() - t0) * 1e3)
+    med = sorted(times)[len(times) // 2]
+    return {"metric": f"sd15_controlnet_{size}_{steps}step_e2e_ms",
+            "value": round(med, 1), "unit": "ms",
+            "its_per_s": round(steps / (med / 1e3), 2)}
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", choices=["lcm", "sdxl", "controlnet"])
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+    if args.config == "lcm":
+        print(json.dumps(bench_lcm(steps=args.steps or 4)))
+    elif args.config == "controlnet":
+        print(json.dumps(bench_controlnet(steps=args.steps or 30)))
+    else:
+        print(json.dumps(bench_sdxl(steps=args.steps or 30)))

@@ -82,3 +82,36 @@ def test_karras_sigmas_euler():
         height=32, width=32, num_inference_steps=4, seed=0,
     )
     assert out.images.shape == (1, 32, 32, 3)
+
+
+def test_ip_adapter_through_pipeline():
+    """IP-Adapter image tokens flow through the pipeline call into every
+    attn2 (community ControlNet+IP-Adapter config)."""
+    import dataclasses as dc
+    from sfast_tpu.ip_adapter import init_ip_adapter_params, ip_image_embed
+
+    cfg_u = dc.replace(TINY_UNET, cross_attention_dim=64)
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    unet = create_unet(cfg_u, jax.random.key(1))
+    ip_params, image_proj = init_ip_adapter_params(
+        jax.random.key(5), cfg_u, unet.params, clip_embed_dim=32
+    )
+    pipe = StableDiffusionPipeline(
+        unet=unet.replace_params(ip_params),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    tokens = ip_image_embed(image_proj, jnp.ones((1, 32)))
+    tokens = jnp.concatenate([jnp.zeros_like(tokens), tokens], axis=0)  # CFG
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=32, width=32, num_inference_steps=2,
+              seed=0, output_type="latent")
+    base = pipe(**kw).images
+    with_ip = pipe(ip_adapter_embeds=tokens, **kw).images
+    assert np.abs(np.asarray(base) - np.asarray(with_ip)).max() > 0
+    zero_scale = pipe(ip_adapter_embeds=tokens, ip_adapter_scale=0.0, **kw).images
+    np.testing.assert_allclose(np.asarray(zero_scale), np.asarray(base), atol=1e-5)

@@ -78,3 +78,45 @@ def test_forward_equivalence_after_roundtrip():
     np.testing.assert_allclose(
         np.asarray(unet(x, t, c)), np.asarray(unet2(x, t, c)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_vae_legacy_attention_naming():
+    """Old diffusers VAE checkpoints use query/key/value/proj_attn (some
+    as 1x1 convs) — the converter must accept both generations."""
+    import torch
+
+    from sfast_tpu.interop.convert_vae import _vae_attention
+
+    c = 32
+    modern = {
+        "pre.to_q.weight": torch.randn(c, c),
+        "pre.to_q.bias": torch.randn(c),
+        "pre.to_k.weight": torch.randn(c, c),
+        "pre.to_k.bias": torch.randn(c),
+        "pre.to_v.weight": torch.randn(c, c),
+        "pre.to_v.bias": torch.randn(c),
+        "pre.to_out.0.weight": torch.randn(c, c),
+        "pre.to_out.0.bias": torch.randn(c),
+        "pre.group_norm.weight": torch.ones(c),
+        "pre.group_norm.bias": torch.zeros(c),
+    }
+    legacy = {
+        "pre.query.weight": modern["pre.to_q.weight"][:, :, None, None],
+        "pre.query.bias": modern["pre.to_q.bias"],
+        "pre.key.weight": modern["pre.to_k.weight"][:, :, None, None],
+        "pre.key.bias": modern["pre.to_k.bias"],
+        "pre.value.weight": modern["pre.to_v.weight"][:, :, None, None],
+        "pre.value.bias": modern["pre.to_v.bias"],
+        "pre.proj_attn.weight": modern["pre.to_out.0.weight"][:, :, None, None],
+        "pre.proj_attn.bias": modern["pre.to_out.0.bias"],
+        "pre.group_norm.weight": modern["pre.group_norm.weight"],
+        "pre.group_norm.bias": modern["pre.group_norm.bias"],
+    }
+    import jax.numpy as jnp
+
+    a = _vae_attention(modern, "pre.", jnp.float32)
+    b = _vae_attention(legacy, "pre.", jnp.float32)
+    for k in ("to_q", "to_k", "to_v", "to_out"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]["w"]), np.asarray(b[k]["w"]), rtol=1e-6
+        )

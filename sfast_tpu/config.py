@@ -76,9 +76,10 @@ class CompilationConfig:
     enable_cnn_optimization: bool = True
     # Pallas GroupNorm / GEGLU win standalone microbenchmarks but lose at
     # model level on v5e (they sit at fusion boundaries XLA would
-    # otherwise fuse through): full-UNet sweep 2026-08 — all_xla 31.6ms,
-    # flash_only 28.6ms, geglu_only 36.0ms, gn_only 39.3ms.  Defaults
-    # follow the measurements; both kernels remain opt-in.
+    # otherwise fuse through).  Validated END-TO-END (SD1.5 512² 50-step,
+    # host-forced outputs, 2026-08): flash-only 1480ms < all-XLA 1557ms
+    # < pallas GN+GEGLU 1838ms.  Defaults follow the measurements; both
+    # kernels remain opt-in.
     enable_fused_group_norm: bool = False
     enable_fused_linear_geglu: bool = False
     prefer_lowp_gemm: bool = dataclasses.field(default_factory=_default_lowp)

@@ -23,8 +23,11 @@ import jax.numpy as jnp
 from sfast_tpu.ops.flash_attention import flash_attention
 
 # Below this q-length the XLA path wins (score matrix fits easily and
-# avoids kernel launch/pipeline setup).
-_FLASH_MIN_Q = 1024
+# avoids kernel pipeline setup).  Validated end-to-end on SD1.5 512²
+# 50-step (host-forced outputs, 2026-08): flash from seq≥4096 → 1449 ms,
+# ≥1024 → 1480 ms, ≥256 → 1514 ms — flash pays only at the longest
+# self-attention level.
+_FLASH_MIN_Q = 2048
 
 
 def xla_attention(

@@ -118,8 +118,13 @@ def flash_attention(
     *,
     scale=None,
     causal: bool = False,
-    block_q: int = 512,
-    block_k: int = 512,
+    # Block defaults validated END-TO-END on SD1.5 512² 50-step
+    # (host-forced outputs, 2026-08): (512,512) → 1403 ms, (1024,512) →
+    # 1447, (4096,512) → 1322, (1024,1024)/(2048,1024) → **1206 ms**;
+    # (2048,2048) exceeds VMEM.  Large k blocks amortize the online-
+    # softmax carry; (1024,1024) keeps ~7 MB VMEM headroom.
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Blockwise attention over (B, H, S, D) tensors.

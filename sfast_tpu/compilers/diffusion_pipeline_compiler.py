@@ -64,8 +64,40 @@ class CompiledModel:
         self.config = config
         self.name = name or type(model).__name__
         self.params = model.params
+        # Multi-chip: place params on the mesh per the sharding rules
+        # (Megatron TP split by default); XLA GSPMD propagates the layout
+        # through the jitted forward and inserts the ICI collectives.
+        # Activations are replicated on entry (TP inference); callers may
+        # pass pre-sharded arrays (e.g. dp-sharded batch) — any array
+        # already committed to this mesh is left alone.
+        self._mesh = config.mesh
+        self._param_shardings = None
+        if self._mesh is not None:
+            from sfast_tpu.parallel.sharding import (
+                param_shardings,
+                spec_fn_from_rules,
+                unet_param_spec,
+            )
+
+            spec_fn = (
+                spec_fn_from_rules(config.sharding_rules)
+                if config.sharding_rules
+                else unet_param_spec
+            )
+            self._param_shardings = param_shardings(
+                self.params, self._mesh, spec_fn
+            )
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, self._param_shardings
+            )
         apply_fn = model.apply_fn(config)
-        if config.freeze:
+        # enable_jit=False: run the model through the plain (still
+        # traceable) apply function with no executable cache — ≙ the
+        # reference skipping lazy_trace when enable_jit is off.
+        self._eager = not config.enable_jit
+        # preserve_parameters=False is the reference's spelling of
+        # "fold the weights in" — same effect as freeze=True here.
+        if config.freeze or not config.preserve_parameters:
             # freeze: weights become XLA constants (constant folding on,
             # hot-swap off) — ≙ enable_jit_freeze/preserve_parameters=False
             # (reference diffusion_pipeline_compiler.py:35-43).
@@ -96,13 +128,35 @@ class CompiledModel:
     # (hooks/module_jit_hook.py:54-61, SURVEY.md §5 degrade-gracefully)
     _cannot_compile = False
 
+    def _place_inputs(self, tree):
+        """Replicate uncommitted activation arrays onto the mesh; arrays
+        the caller already committed to this mesh (dp-sharded batches,
+        TP-sharded context) pass through untouched."""
+        if self._mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(self._mesh, PartitionSpec())
+
+        def place(x):
+            if not isinstance(x, jax.Array):
+                return x
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == self._mesh:
+                return x
+            return jax.device_put(x, repl)
+
+        return jax.tree_util.tree_map(place, tree)
+
     def __call__(self, *args, **kwargs):
-        if not self._cannot_compile:
+        if self._mesh is not None:
+            args, kwargs = self._place_inputs((args, kwargs))
+        if not self._cannot_compile and not self._eager:
             try:
                 if self._frozen:
                     return self._call(*args, **kwargs)
                 return self._call(self.params, *args, **kwargs)
-            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+            except Exception as e:
                 # Shape/tracing errors in user inputs should surface;
                 # compiler/runtime failures degrade to eager.
                 if not self._is_compile_failure(e):
@@ -119,13 +173,20 @@ class CompiledModel:
 
     @staticmethod
     def _is_compile_failure(e: Exception) -> bool:
-        msg = str(e).lower()
-        return any(
-            s in msg
-            for s in ("compilation", "mosaic", "xla", "resource exhausted", "hlo")
-        )
+        """Classify by exception TYPE, not message text: XLA compiler /
+        runtime errors (``jax.errors.JaxRuntimeError``, the base of
+        ``XlaRuntimeError`` — covers compilation failures, Mosaic kernel
+        failures, RESOURCE_EXHAUSTED) degrade this model to eager.
+        Anything raised while *tracing* — user shape or dtype errors
+        (TypeError/ValueError), even when their message happens to
+        mention "XLA" — propagates to the caller."""
+        return isinstance(e, jax.errors.JaxRuntimeError)
 
     def warmup(self, *args, **kwargs):
+        if self._eager:
+            return self
+        if self._mesh is not None:
+            args, kwargs = self._place_inputs((args, kwargs))
         if self._frozen:
             self._call.warmup(*args, **kwargs)
         else:
@@ -147,9 +208,21 @@ class CompiledModel:
             raise ValueError(
                 f"param tree structure changed: {old_struct} != {new_struct}"
             )
-        self.params = jax.tree_util.tree_map(
-            lambda old, new: jnp.asarray(new, old.dtype), self.params, new_params
-        )
+        if self._param_shardings is not None:
+            # keep the mesh placement stable across hot-swaps so the
+            # executable's input layout (and thus the cache) is unchanged
+            self.params = jax.tree_util.tree_map(
+                lambda old, new, s: jax.device_put(
+                    jnp.asarray(new, old.dtype), s
+                ),
+                self.params,
+                new_params,
+                self._param_shardings,
+            )
+        else:
+            self.params = jax.tree_util.tree_map(
+                lambda old, new: jnp.asarray(new, old.dtype), self.params, new_params
+            )
 
     @property
     def cache_size(self) -> int:

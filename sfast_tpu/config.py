@@ -18,9 +18,10 @@ enable_jit / enable_jit_freeze  ``enable_jit`` / ``freeze`` — freeze closes
 preserve_parameters             ``preserve_parameters`` — weights stay
                                 function *arguments* (donated buffers), the
                                 default; LoRA swap = overwrite buffers.
-enable_cnn_optimization         ``enable_cnn_optimization`` — fused
-                                conv+bias+act is XLA bread-and-butter; this
-                                gates the NHWC relayout + conv fusion hints.
+enable_cnn_optimization         (no knob) — fused conv+bias+act is
+                                unconditional XLA behavior on TPU; there is
+                                nothing to switch, so the knob is omitted
+                                rather than shipped inert.
 enable_fused_linear_geglu       ``enable_fused_linear_geglu`` — Pallas
                                 fused dual-matmul GEGLU kernel (≙ CUTLASS
                                 dual GEMM, reference :72).
@@ -69,11 +70,12 @@ class CompilationConfig:
     """One plain dataclass of knobs; ``CompilationConfig.Default()`` mirrors
     the reference's ``CompilationConfig.Default`` spelling."""
 
-    memory_format: str = "NHWC"  # 'NHWC' (TPU-native) or 'NCHW'
-    enable_jit: bool = True
+    # 'NHWC' (TPU-native, default) or 'NCHW' (torch-layout interop: 4-D/5-D
+    # model inputs/outputs are transposed at the boundary)
+    memory_format: str = "NHWC"
+    enable_jit: bool = True  # False: models run uncompiled (still traceable)
     freeze: bool = False  # ≙ enable_jit_freeze + preserve_parameters=False
-    preserve_parameters: bool = True
-    enable_cnn_optimization: bool = True
+    preserve_parameters: bool = True  # False ≙ freeze (weights folded in)
     # Pallas GroupNorm / GEGLU win standalone microbenchmarks but lose at
     # model level on v5e (they sit at fusion boundaries XLA would
     # otherwise fuse through).  Validated END-TO-END (SD1.5 512² 50-step,

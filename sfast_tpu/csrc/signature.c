@@ -162,6 +162,57 @@ static PyObject *dict_sig(PyObject *arg, int shape_sensitive) {
     return out;
 }
 
+/* dataclass instances hash by (name, field-value signature) pairs in
+ * declaration order — mirrors runtime/signature.py's dataclass branch.
+ * Uses dataclasses.fields() so pseudo-fields (InitVar/ClassVar) are
+ * excluded exactly as in Python; any failure raises, and the Python
+ * fallback in runtime/signature.py:call_signature handles it. */
+static PyObject *dataclasses_fields = NULL;
+
+static PyObject *dataclass_sig(PyObject *arg, int shape_sensitive) {
+    PyObject *fields =
+        PyObject_CallFunctionObjArgs(dataclasses_fields, arg, NULL);
+    if (!fields) return NULL;
+    PyObject *fields_tuple = PySequence_Tuple(fields);
+    Py_DECREF(fields);
+    if (!fields_tuple) return NULL;
+    Py_ssize_t n = PyTuple_GET_SIZE(fields_tuple);
+    PyObject *items = PyTuple_New(n);
+    if (!items) { Py_DECREF(fields_tuple); return NULL; }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *field = PyTuple_GET_ITEM(fields_tuple, i);
+        PyObject *name = PyObject_GetAttrString(field, "name");
+        if (!name) { Py_DECREF(items); Py_DECREF(fields_tuple); return NULL; }
+        PyObject *value = PyObject_GetAttr(arg, name);
+        if (!value) {
+            Py_DECREF(name);
+            Py_DECREF(items);
+            Py_DECREF(fields_tuple);
+            return NULL;
+        }
+        PyObject *vsig = arg_signature(value, shape_sensitive);
+        Py_DECREF(value);
+        if (!vsig) {
+            Py_DECREF(name);
+            Py_DECREF(items);
+            Py_DECREF(fields_tuple);
+            return NULL;
+        }
+        PyObject *pair = PyTuple_Pack(2, name, vsig);
+        Py_DECREF(name);
+        Py_DECREF(vsig);
+        if (!pair) { Py_DECREF(items); Py_DECREF(fields_tuple); return NULL; }
+        PyTuple_SET_ITEM(items, i, pair);
+    }
+    Py_DECREF(fields_tuple);
+    PyObject *tname = short_type_name(arg);
+    if (!tname) { Py_DECREF(items); return NULL; }
+    PyObject *out = PyTuple_Pack(3, interned_dataclass, tname, items);
+    Py_DECREF(tname);
+    Py_DECREF(items);
+    return out;
+}
+
 static PyObject *arg_signature(PyObject *arg, int shape_sensitive) {
     /* primitives first (bool before int matters for tp_name fidelity) */
     if (arg == Py_None || PyBool_Check(arg) || PyLong_Check(arg) ||
@@ -178,6 +229,14 @@ static PyObject *arg_signature(PyObject *arg, int shape_sensitive) {
     }
     if (PyDict_Check(arg)) {
         return dict_sig(arg, shape_sensitive);
+    }
+    /* dataclass instance (not the class itself): hash by field values,
+     * matching runtime/signature.py — without this branch two calls
+     * differing only in dataclass field values would share a dispatch
+     * key and reuse a stale executable */
+    if (!PyType_Check(arg) &&
+        PyObject_HasAttrString(arg, "__dataclass_fields__")) {
+        return dataclass_sig(arg, shape_sensitive);
     }
     /* opaque: hash by type (reference trace_helper.py:118-119) */
     {
@@ -247,5 +306,12 @@ PyMODINIT_FUNC PyInit__C(void) {
     interned_dict = PyUnicode_InternFromString("dict");
     interned_opaque = PyUnicode_InternFromString("opaque");
     interned_dataclass = PyUnicode_InternFromString("dataclass");
+    {
+        PyObject *dc = PyImport_ImportModule("dataclasses");
+        if (!dc) { Py_DECREF(m); return NULL; }
+        dataclasses_fields = PyObject_GetAttrString(dc, "fields");
+        Py_DECREF(dc);
+        if (!dataclasses_fields) { Py_DECREF(m); return NULL; }
+    }
     return m;
 }

@@ -37,17 +37,21 @@ class CLIPTextConfig:
     projection_dim: Optional[int] = None  # set for CLIPTextModelWithProjection
     # eos token id for pooled output: 49407 for ViT-L; OpenCLIP pads with 0
     eos_token_id: int = 49407
+    # what the paired tokenizer pads with: EOS for SD1.5's CLIPTokenizer,
+    # 0 ('!') for SD2/SDXL's tokenizers — needed to synthesize the
+    # empty-prompt encoding when no tokenizer is attached
+    pad_token_id: int = 49407
     dtype: Any = jnp.bfloat16
 
 
 SD15_TEXT_ENCODER = CLIPTextConfig()
 SD21_TEXT_ENCODER = CLIPTextConfig(
     hidden_size=1024, intermediate_size=4096, num_layers=23, num_heads=16,
-    hidden_act="gelu",
+    hidden_act="gelu", pad_token_id=0,
 )
 SDXL_TEXT_ENCODER_2 = CLIPTextConfig(
     hidden_size=1280, intermediate_size=5120, num_layers=32, num_heads=20,
-    hidden_act="gelu", projection_dim=1280,
+    hidden_act="gelu", projection_dim=1280, pad_token_id=0,
 )
 TINY_TEXT_ENCODER = CLIPTextConfig(
     vocab_size=1000, hidden_size=64, intermediate_size=128, num_layers=2,

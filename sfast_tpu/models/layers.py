@@ -357,9 +357,12 @@ def feed_forward_fwd(
     proj = p["proj"]
     if "w_q" in proj:
         y = apply_linear(proj, x)
-        a, g = jnp.split(y, 2, axis=-1)
-        h = (jax.nn.gelu(a.astype(jnp.float32), approximate=False) *
-             g.astype(jnp.float32)).astype(x.dtype)
+        # diffusers GEGLU: hidden * gelu(gate), gate = SECOND chunk
+        # (reference jit_pass_fuse_linear_geglu pattern binding)
+        h_lin, gate = jnp.split(y, 2, axis=-1)
+        h = (h_lin.astype(jnp.float32) *
+             jax.nn.gelu(gate.astype(jnp.float32), approximate=False)
+             ).astype(x.dtype)
     else:
         h = linear_geglu(x, proj["w"], proj.get("b"), backend=geglu_backend)
     return apply_linear(p["out"], h)

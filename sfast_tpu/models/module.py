@@ -16,7 +16,25 @@ must fight TorchScript to keep parameters un-folded —
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
+
 from sfast_tpu.config import CompilationConfig
+
+
+def _transpose_tree(tree, perm4, perm5):
+    """Transpose every 4-D/5-D array leaf (layout interop at the model
+    boundary — ``CompilationConfig.memory_format='NCHW'``)."""
+    import jax.numpy as jnp
+
+    def t(x):
+        nd = getattr(x, "ndim", None)
+        if nd == 4:
+            return jnp.transpose(x, perm4)
+        if nd == 5:
+            return jnp.transpose(x, perm5)
+        return x
+
+    return jax.tree_util.tree_map(t, tree)
 
 
 @dataclasses.dataclass
@@ -40,9 +58,32 @@ class Model:
         ccfg = compile_config or CompilationConfig.Default()
         cfg = self.config
         fwd = self.forward
+        if ccfg.memory_format not in ("NHWC", "NCHW"):
+            raise ValueError(
+                f"memory_format must be 'NHWC' or 'NCHW', got "
+                f"{ccfg.memory_format!r}"
+            )
+        # 'NCHW' = torch-layout interop: the caller's 4-D/5-D arrays are
+        # channel-first; transpose at the boundary both ways (models are
+        # natively NHWC — ≙ reference apply_memory_format, which converts
+        # the torch-native layout to the hardware-preferred one).
+        from_torch_layout = ccfg.memory_format == "NCHW"
 
         def apply(params, *args, **kwargs):
-            return fwd(cfg, ccfg, params, *args, **kwargs)
+            if from_torch_layout:
+                args, kwargs = _transpose_tree(
+                    (args, kwargs), (0, 2, 3, 1), (0, 2, 3, 4, 1)
+                )
+            if ccfg.prefer_lowp_gemm:
+                out = fwd(cfg, ccfg, params, *args, **kwargs)
+            else:
+                # ≙ reference prefer_lowp_gemm=False: matmuls at full
+                # precision (multi-pass bf16 on the MXU ≈ f32)
+                with jax.default_matmul_precision("highest"):
+                    out = fwd(cfg, ccfg, params, *args, **kwargs)
+            if from_torch_layout:
+                out = _transpose_tree(out, (0, 3, 1, 2), (0, 4, 1, 2, 3))
+            return out
 
         apply.__name__ = self.name or getattr(fwd, "__name__", "apply")
         return apply

@@ -2,7 +2,8 @@
 
 Counterpart of the reference's CUTLASS dual-GEMM GEGLU
 (``csrc/operators/cutlass/cutlass_dual_linear_kernel.cu:27-115``):
-``GELU(x·W₁+b₁) ⊙ (x·W₂+b₂)`` computed as one kernel so the two (M, F)
+``(x·W₁+b₁) ⊙ GELU(x·W₂+b₂)`` — diffusers' ``hidden * gelu(gate)``
+with gate = second chunk — computed as one kernel so the two (M, F)
 GEMM outputs are combined in the epilogue and never round-trip HBM.
 Like the reference's ``cutlass_linear_geglu_unified``, the fused weight
 ``(K, 2F)`` is split down the output dim (``kernel.cu:528-539``).
@@ -54,9 +55,14 @@ def _geglu_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, o_ref, acc1, acc2):
 
     @pl.when(kk == nk - 1)
     def _epilogue():
-        a = acc1[:] + b1_ref[:]
-        b = acc2[:] + b2_ref[:]
-        o_ref[:] = (_gelu_kernel(a) * b).astype(o_ref.dtype)
+        # diffusers GEGLU convention: hidden * gelu(gate), where the
+        # fused (K, 2F) weight's FIRST F columns produce hidden and the
+        # SECOND F columns produce the gate (reference
+        # jit_pass_fuse_linear_geglu binds %hidden_states, %gate in
+        # that order from aten::chunk).
+        h = acc1[:] + b1_ref[:]
+        g = acc2[:] + b2_ref[:]
+        o_ref[:] = (h * _gelu_kernel(g)).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, cap: int, multiple: int) -> int:
@@ -139,8 +145,8 @@ def linear_geglu_xla(
     )
     if b is not None:
         y = y + b.astype(jnp.float32)
-    a, g = jnp.split(y, 2, axis=-1)
-    return (_gelu(a, approx_gelu) * g).astype(x.dtype)
+    h, g = jnp.split(y, 2, axis=-1)
+    return (h * _gelu(g, approx_gelu)).astype(x.dtype)
 
 
 def linear_geglu(

@@ -16,6 +16,7 @@ SURVEY.md §2.3: the reference has none of this; §7 stage 7 calls for it
 as the optional capability-at-scale extension.
 """
 
+import fnmatch
 from typing import Tuple
 
 import jax
@@ -38,6 +39,24 @@ def unet_param_spec(path: Tuple, leaf) -> P:
         if parent in _ROW or parent in _ROW_ALSO:
             return P("tp", None)
     return P()  # replicated
+
+
+def spec_fn_from_rules(rules):
+    """Build a ``(path, leaf) -> PartitionSpec`` function from
+    ``CompilationConfig.sharding_rules``: a sequence of
+    ``(pattern, PartitionSpec)`` pairs where ``pattern`` is an fnmatch
+    glob over the '/'-joined param path (e.g. ``"*/to_q/w"``).  First
+    match wins; no match → replicated."""
+    rules = tuple(rules)
+
+    def spec_fn(path: Tuple, leaf) -> P:
+        name = "/".join(str(p) for p in path)
+        for pattern, spec in rules:
+            if fnmatch.fnmatch(name, pattern):
+                return spec if isinstance(spec, P) else P(*spec)
+        return P()
+
+    return spec_fn
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -74,12 +74,16 @@ class StableDiffusionPipeline:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self._ccfg = CompilationConfig.Default()
-        self._fused_loop = None
+        # fused denoise loops keyed by num_inference_steps: the loop bakes
+        # the fori_loop trip count and the step-array lengths in, so one
+        # cached loop per step count (a 50-step loop fed 25-step state
+        # would silently run the wrong trajectory)
+        self._fused_loops = {}
 
     # -- compile() integration -------------------------------------------
     def set_compilation_config(self, ccfg: CompilationConfig):
         self._ccfg = ccfg
-        self._fused_loop = None
+        self._fused_loops = {}
 
     @property
     def vae_config(self):
@@ -111,6 +115,23 @@ class StableDiffusionPipeline:
         )
         return jnp.asarray(enc.input_ids, jnp.int32)
 
+    def _empty_prompt_ids(self, prompt_ids) -> jnp.ndarray:
+        """Token ids of the empty prompt "" — the CFG uncond default.
+        With a tokenizer attached this is exact; otherwise it is
+        synthesized as [BOS, EOS, pad, pad, ...] from the text encoder's
+        config (diffusers encodes "" the same way; an all-zeros row would
+        be a sequence of '!' tokens and skew the uncond embedding)."""
+        if self.tokenizer is not None:
+            return self.tokenize([""] * prompt_ids.shape[0])
+        te = self.text_encoder
+        tcfg = te.model.config if isinstance(te, CompiledModel) else te.config
+        eos = getattr(tcfg, "eos_token_id", 49407)
+        pad = getattr(tcfg, "pad_token_id", eos)
+        ids = jnp.full_like(prompt_ids, pad)
+        ids = ids.at[:, 0].set(prompt_ids[:, 0])  # BOS (copied from prompt)
+        ids = ids.at[:, 1].set(eos)
+        return ids
+
     def encode_prompt(self, prompt_ids, negative_prompt_ids=None):
         """Returns CFG-stacked embeddings (2B, S, D): [uncond; cond]."""
         out = self.text_encoder(
@@ -123,8 +144,7 @@ class StableDiffusionPipeline:
             else out["last_hidden_state"]
         )
         if negative_prompt_ids is None:
-            negative_prompt_ids = jnp.zeros_like(prompt_ids)
-            negative_prompt_ids = negative_prompt_ids.at[:, 0].set(prompt_ids[0, 0])
+            negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
         nout = self.text_encoder(
             negative_prompt_ids,
             output_hidden_states=(self.clip_skip_mode == "penultimate"),
@@ -258,12 +278,16 @@ class StableDiffusionPipeline:
                 num_inference_steps - int(num_inference_steps * strength), 0
             )
             noise = jax.random.normal(k_noise, z.shape, jnp.float32)
-            if "alpha_t" in state:
+            # forward diffusion lives in the scheduler's own sample space:
+            # VP for DPM++/DDIM, kd x-space for Euler-family — dispatch to
+            # the scheduler's add_noise (common.add_noise covers VP-state
+            # schedulers without a method)
+            if hasattr(self.scheduler, "add_noise"):
+                latents = self.scheduler.add_noise(
+                    state, z.astype(jnp.float32), noise, start_index
+                )
+            else:
                 latents = add_noise(state, z.astype(jnp.float32), noise, start_index)
-            else:  # kd-sigma schedulers
-                sig = state["sigmas"][start_index]
-                a = 1.0 / jnp.sqrt(1 + sig**2)
-                latents = a * z.astype(jnp.float32) + sig * a * noise
             latents = latents.astype(self.dtype)
         elif latents is None:
             key, sub = jax.random.split(key)
@@ -291,15 +315,17 @@ class StableDiffusionPipeline:
             and ip_adapter_embeds is None
         )
         if use_fused:
-            if self._fused_loop is None:
-                self._fused_loop = self._build_fused_loop(num_inference_steps)
+            fused = self._fused_loops.get(num_inference_steps)
+            if fused is None:
+                fused = self._build_fused_loop(num_inference_steps)
+                self._fused_loops[num_inference_steps] = fused
             params = (
                 self.unet.params
                 if isinstance(self.unet, CompiledModel)
                 else self.unet_model.params
             )
             key, sub = jax.random.split(key)
-            latents = self._fused_loop(params, latents, context, state, gs, sub)
+            latents = fused(params, latents, context, state, gs, sub)
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
             for i in range(start_index, num_inference_steps):

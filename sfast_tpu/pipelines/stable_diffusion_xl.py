@@ -74,15 +74,20 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if prompt_ids_2 is None:
             prompt_ids_2 = prompt_ids
         b = prompt_ids.shape[0]
-        if negative_prompt_ids is None:
-            negative_prompt_ids = jnp.zeros_like(prompt_ids)
-        if negative_prompt_ids_2 is None:
-            negative_prompt_ids_2 = jnp.zeros_like(prompt_ids_2)
-
         cond, pooled_c = self.encode_prompt_xl(prompt_ids, prompt_ids_2)
-        uncond, pooled_u = self.encode_prompt_xl(
-            negative_prompt_ids, negative_prompt_ids_2
-        )
+        if negative_prompt_ids is None and negative_prompt_ids_2 is None:
+            # diffusers SDXL default (force_zeros_for_empty_prompt=True):
+            # the uncond branch is ZERO EMBEDDINGS, not an encoded ""
+            uncond = jnp.zeros_like(cond)
+            pooled_u = jnp.zeros_like(pooled_c)
+        else:
+            if negative_prompt_ids is None:
+                negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
+            if negative_prompt_ids_2 is None:
+                negative_prompt_ids_2 = negative_prompt_ids
+            uncond, pooled_u = self.encode_prompt_xl(
+                negative_prompt_ids, negative_prompt_ids_2
+            )
         context = jnp.concatenate([uncond, cond], axis=0)
         pooled = jnp.concatenate([pooled_u, pooled_c], axis=0)
 

@@ -45,6 +45,10 @@ class DPMSolverMultistepScheduler:
             # scalar zero broadcasts against any latent shape, keeping the
             # state pytree structure fixed across steps (fori_loop carry)
             "x0_prev": jnp.zeros((), jnp.float32),
+            # whether a previous x0 prediction exists: the FIRST EXECUTED
+            # step (not step index 0 — img2img enters at start_index>0)
+            # must be first-order, like diffusers' lower_order_nums guard
+            "has_history": jnp.zeros((), jnp.bool_),
             "num_steps": num_steps,
         }
 
@@ -59,6 +63,13 @@ class DPMSolverMultistepScheduler:
         # VP-space latents; input scaling is identity (matches diffusers
         # DPMSolverMultistep with init_noise_sigma == 1)
         return sample
+
+    def add_noise(self, state, original, noise, i):
+        """Forward-diffuse for img2img entry.  DPM++ latents live in
+        VP-space: alpha_t·z + sigma_t·noise with (alpha, sigma) derived
+        from the kd sigma (matches diffusers DPMSolverMultistep.add_noise)."""
+        a, s = self._alpha_sigma(state["sigmas"][i])
+        return a * original + s * noise
 
     @staticmethod
     def _alpha_sigma(kd_sigma):
@@ -110,7 +121,7 @@ class DPMSolverMultistepScheduler:
         second = ratio * sample - a_t * phi * (x0 + 0.5 * d1)
 
         num_steps = state["num_steps"]
-        use_first = (i == 0)
+        use_first = jnp.logical_not(state["has_history"])
         if self.lower_order_final:
             use_first = jnp.logical_or(use_first, i == num_steps - 1)
         if self.solver_order < 2:
@@ -120,4 +131,5 @@ class DPMSolverMultistepScheduler:
 
         new_state = dict(state)
         new_state["x0_prev"] = x0
+        new_state["has_history"] = jnp.ones((), jnp.bool_)
         return prev.astype(dtype), new_state

@@ -52,6 +52,14 @@ class EulerDiscreteScheduler:
         s = state["sigmas"][i]
         return (sample.astype(jnp.float32) / jnp.sqrt(s**2 + 1)).astype(sample.dtype)
 
+    def add_noise(self, state, original, noise, i):
+        """Forward-diffuse for img2img entry.  Euler latents live in
+        k-diffusion x-space (``scale_model_input`` divides by
+        ``sqrt(sigma²+1)``), so this is diffusers EulerDiscrete.add_noise:
+        ``z + sigma·noise`` — NOT the VP-space ``a·z + sigma·a·noise``."""
+        sig = state["sigmas"][i]
+        return original + sig * noise
+
     def _pred_x0(self, model_output, sample, sigma):
         pt = self.config.prediction_type
         if pt == "epsilon":

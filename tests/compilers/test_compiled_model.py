@@ -99,7 +99,7 @@ def test_compile_failure_falls_back_to_eager(monkeypatch, caplog):
 
     def boom(*a, **k):
         calls["n"] += 1
-        raise RuntimeError("XLA compilation failed: mosaic blew up")
+        raise jax.errors.JaxRuntimeError("XLA compilation failed: mosaic blew up")
 
     monkeypatch.setattr(m, "_call", boom)
     with caplog.at_level(logging.WARNING):
@@ -120,3 +120,88 @@ def test_user_errors_still_raise(monkeypatch):
     monkeypatch.setattr(m, "_call", user_err)
     with pytest.raises(ValueError):
         m(jnp.ones((2, 4)))
+
+
+def test_user_error_mentioning_xla_still_raises(monkeypatch):
+    """Classification is by exception TYPE: a user shape error whose
+    message happens to contain 'XLA' must NOT silently degrade the model
+    to eager (the old substring matcher did)."""
+    m = compile_model(_toy_model())
+
+    def user_err(*a, **k):
+        raise TypeError("dot_general requires ... (while lowering to XLA HLO)")
+
+    monkeypatch.setattr(m, "_call", user_err)
+    with pytest.raises(TypeError):
+        m(jnp.ones((2, 4)))
+    assert not m._cannot_compile
+
+
+def test_real_shape_error_raises_through_compiled_model():
+    """No monkeypatching: a genuinely wrong input shape surfaces as an
+    exception instead of flipping the model to eager."""
+    m = compile_model(_toy_model())
+    with pytest.raises(Exception):
+        m(jnp.ones((2, 5)))  # 5 != 4 — dot_general mismatch at trace time
+    assert not m._cannot_compile
+
+
+def test_enable_jit_false_runs_eagerly():
+    cfg = CompilationConfig.Default().replace(enable_jit=False)
+    m = compile_model(_toy_model(), cfg)
+    x = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(m(x)), np.ones((2, 4)))
+    assert m.cache_size == 0  # nothing compiled
+    m.warmup(x)
+    assert m.cache_size == 0
+
+
+def test_preserve_parameters_false_is_freeze():
+    cfg = CompilationConfig.Default().replace(preserve_parameters=False)
+    m = compile_model(_toy_model(), cfg)
+    x = jnp.ones((1, 4))
+    np.testing.assert_allclose(np.asarray(m(x)), np.ones((1, 4)))
+    with pytest.raises(RuntimeError):
+        m.update_params({"w": jnp.eye(4), "b": jnp.zeros((4,))})
+
+
+def test_prefer_lowp_gemm_false_still_correct():
+    cfg = CompilationConfig.Default().replace(prefer_lowp_gemm=False)
+    m = compile_model(_toy_model(scale=2.0), cfg)
+    x = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(m(x)), 2 * np.ones((2, 4)))
+
+
+def test_memory_format_nchw_boundary_transpose():
+    """memory_format='NCHW' transposes 4-D inputs/outputs at the model
+    boundary so torch-layout callers keep their layout."""
+
+    def forward(config, ccfg, params, x):
+        # model is natively NHWC: scale channel 0 only (last axis)
+        return x * params["cscale"]
+
+    params = {"cscale": jnp.asarray([2.0, 1.0, 1.0, 1.0])}
+    model = Model(config={}, params=params, forward=forward, name="t")
+    x_nchw = jnp.stack(
+        [jnp.full((5, 6), 1.0), jnp.full((5, 6), 3.0),
+         jnp.full((5, 6), 4.0), jnp.full((5, 6), 5.0)]
+    )[None]  # (1, 4, 5, 6) channel-first
+    m = compile_model(
+        model, CompilationConfig.Default().replace(memory_format="NCHW")
+    )
+    out = np.asarray(m(x_nchw))
+    assert out.shape == (1, 4, 5, 6)  # layout preserved for the caller
+    np.testing.assert_allclose(out[0, 0], 2.0)  # channel 0 doubled
+    np.testing.assert_allclose(out[0, 1], 3.0)
+
+    m_nhwc = compile_model(model)
+    out2 = np.asarray(m_nhwc(jnp.transpose(x_nchw, (0, 2, 3, 1))))
+    np.testing.assert_allclose(out, np.transpose(out2, (0, 3, 1, 2)))
+
+
+def test_memory_format_invalid_raises():
+    with pytest.raises(ValueError):
+        compile_model(
+            _toy_model(),
+            CompilationConfig.Default().replace(memory_format="NCWH"),
+        )

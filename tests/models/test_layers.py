@@ -91,8 +91,9 @@ def test_transformer_block_matches_torch():
     xt = xt + attn(p["attn2"], h, ct)
     h = F.layer_norm(xt, (dim,), t(p["norm3"]["scale"]), t(p["norm3"]["bias"]))
     y = h @ t(p["ff"]["proj"]["w"]) + t(p["ff"]["proj"]["b"])
-    a, g = y.chunk(2, -1)
-    y = F.gelu(a) * g
+    # diffusers GEGLU: hidden_states * gelu(gate), gate = second chunk
+    hs, gate = y.chunk(2, -1)
+    y = hs * F.gelu(gate)
     xt = xt + y @ t(p["ff"]["out"]["w"]) + t(p["ff"]["out"]["b"])
 
     np.testing.assert_allclose(np.asarray(out), xt.numpy(), rtol=2e-3, atol=2e-3)

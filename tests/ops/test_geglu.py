@@ -10,6 +10,9 @@ from sfast_tpu.ops.geglu import linear_geglu, linear_geglu_pallas, linear_geglu_
 
 
 def _torch_geglu(x, w, b, approximate="none"):
+    """Literal replica of diffusers.models.activations.GEGLU.forward:
+    ``hidden_states, gate = proj(x).chunk(2, -1); hidden_states * gelu(gate)``
+    (the convention the reference fuses in jit_pass_fuse_linear_geglu)."""
     import torch
     import torch.nn.functional as F
 
@@ -17,8 +20,8 @@ def _torch_geglu(x, w, b, approximate="none"):
     wt = torch.from_numpy(np.asarray(w, np.float32))
     bt = torch.from_numpy(np.asarray(b, np.float32))
     y = xt @ wt + bt
-    a, g = y.chunk(2, dim=-1)
-    return (F.gelu(a, approximate=approximate) * g).numpy()
+    hidden_states, gate = y.chunk(2, dim=-1)
+    return (hidden_states * F.gelu(gate, approximate=approximate)).numpy()
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,110 @@
+"""Sharded inference through the PUBLIC compile() API.
+
+Round-1 verdict: the parallelism layer existed but was unreachable via
+``compile()`` (``config.mesh``/``sharding_rules`` never consumed).  These
+tests assert the wiring: ``compile(pipe, cfg(mesh=...))`` runs the full
+pipeline TP-sharded on the 8-device CPU mesh and matches the
+single-device result.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.compilers.diffusion_pipeline_compiler import compile_model
+from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+from sfast_tpu.parallel import make_mesh
+from sfast_tpu.pipelines import StableDiffusionPipeline
+from sfast_tpu.schedulers import DDIMScheduler
+
+TINY_UNET64 = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+CCFG = CompilationConfig.Default().replace(enable_pallas=False)
+
+
+def _tiny_pipe():
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    return StableDiffusionPipeline(
+        unet=create_unet(TINY_UNET64, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+
+
+def _latents(pipe, **kw):
+    ids = jnp.ones((1, 77), jnp.int32)
+    return np.asarray(
+        pipe(
+            prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+            output_type="latent", seed=3, **kw,
+        ).images
+    )
+
+
+def test_compile_with_mesh_matches_single_device():
+    """Full pipeline e2e: TP-sharded over a (1, 4) mesh == single-chip."""
+    ref = _latents(sfast_tpu.compile(_tiny_pipe(), CCFG))
+
+    mesh = make_mesh((1, 4), ("dp", "tp"), devices=jax.devices()[:4])
+    sharded_pipe = sfast_tpu.compile(_tiny_pipe(), CCFG.replace(mesh=mesh))
+    out = _latents(sharded_pipe)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    # params actually live on the mesh, TP-sharded where rules apply
+    unet = sharded_pipe.unet
+    qw = unet.params["down_blocks"][0]["attentions"][0]["blocks"][0][
+        "attn1"
+    ]["to_q"]["w"]
+    assert isinstance(qw.sharding, NamedSharding)
+    assert qw.sharding.mesh == mesh
+    assert qw.sharding.spec == P(None, "tp")
+
+
+def test_mesh_hot_swap_keeps_sharding():
+    mesh = make_mesh((1, 2), ("dp", "tp"), devices=jax.devices()[:2])
+    m = compile_model(
+        create_unet(TINY_UNET64, jax.random.key(1)),
+        CCFG.replace(mesh=mesh),
+        name="unet",
+    )
+    x = jnp.zeros((2, 16, 16, 4), jnp.float32)
+    t = jnp.asarray([500.0, 500.0], jnp.float32)
+    ctx = jnp.zeros((2, 7, 64), jnp.float32)
+    m(x, t, ctx)
+    assert m.cache_size == 1
+    new = jax.tree_util.tree_map(lambda a: a * 1.01, dict(m.params))
+    m.update_params(new)
+    m(x, t, ctx)
+    assert m.cache_size == 1  # hot-swap still recompile-free under mesh
+    qw = m.params["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"][
+        "to_q"
+    ]["w"]
+    assert isinstance(qw.sharding, NamedSharding) and qw.sharding.mesh == mesh
+
+
+def test_custom_sharding_rules():
+    """config.sharding_rules overrides the default Megatron spec_fn."""
+    mesh = make_mesh((1, 2), ("dp", "tp"), devices=jax.devices()[:2])
+    rules = (("*/to_q/w", P("tp", None)),)  # deliberately row-split q
+    m = compile_model(
+        create_unet(TINY_UNET64, jax.random.key(1)),
+        CCFG.replace(mesh=mesh, sharding_rules=rules),
+        name="unet",
+    )
+    qw = m.params["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"][
+        "to_q"
+    ]["w"]
+    kw = m.params["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"][
+        "to_k"
+    ]["w"]
+    assert qw.sharding.spec == P("tp", None)
+    assert kw.sharding.spec == P()  # unmatched -> replicated

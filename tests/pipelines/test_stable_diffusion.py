@@ -119,3 +119,51 @@ def test_batch_of_prompts(compiled_pipe):
         prompt_ids=ids, height=64, width=64, num_inference_steps=2, seed=0
     )
     assert out.images.shape == (2, 64, 64, 3)
+
+
+def test_fused_loop_rekeys_on_step_count_change():
+    """A fused loop built for N steps must not be reused for M != N —
+    the fori_loop trip count and step-array lengths are baked in (round-1
+    silent-wrong-result bug)."""
+    pipe = _tiny_pipe(DPMSolverMultistepScheduler())
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+
+    def run(nsteps, fused):
+        pipe.set_compilation_config(
+            CCFG.replace(fuse_denoising_loop=fused)
+        )
+        return pipe(
+            prompt_ids=ids, height=64, width=64, num_inference_steps=nsteps,
+            output_type="latent", seed=5,
+        ).images
+
+    fused6 = run(6, True)
+    # now a DIFFERENT step count through the same pipeline object
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused6b = pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=6,
+        output_type="latent", seed=5,
+    ).images
+    fused3 = pipe(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=3,
+        output_type="latent", seed=5,
+    ).images
+    np.testing.assert_allclose(np.asarray(fused6), np.asarray(fused6b), rtol=1e-5)
+    stepwise3 = run(3, False)
+    np.testing.assert_allclose(
+        np.asarray(fused3), np.asarray(stepwise3), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_default_uncond_is_bos_eos_pad(compiled_pipe):
+    """The synthesized empty-prompt ids are [BOS, EOS, pad...] — not the
+    old zeros row (id 0 = '!' in the CLIP vocab)."""
+    ids = jnp.full((2, 77), 5, jnp.int32)
+    ids = ids.at[:, 0].set(49406)
+    neg = compiled_pipe._empty_prompt_ids(ids)
+    assert neg.shape == ids.shape
+    np.testing.assert_array_equal(np.asarray(neg[:, 0]), 49406)
+    eos = 49407
+    np.testing.assert_array_equal(np.asarray(neg[:, 1]), eos)
+    np.testing.assert_array_equal(np.asarray(neg[:, 2:]), eos)

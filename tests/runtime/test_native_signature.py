@@ -55,6 +55,30 @@ def test_opaque_objects():
     assert S.arg_signature(Foo()) == _C.arg_signature(Foo())
 
 
+def test_dataclass_by_field_values():
+    """Dataclasses hash by field VALUES in both paths — two instances
+    differing only in a field must get different dispatch keys (a stale
+    executable would otherwise be reused; ADVICE round-1 finding)."""
+    import dataclasses
+
+    @dataclasses.dataclass
+    class Knobs:
+        a: int
+        b: float
+        arr: object = None
+
+    k1 = Knobs(1, 2.0, jnp.zeros((2,)))
+    k2 = Knobs(1, 3.0, jnp.zeros((2,)))
+    for shape_sensitive in (True, False):
+        py1 = S.arg_signature(k1, shape_sensitive)
+        c1 = _C.arg_signature(k1, shape_sensitive=shape_sensitive)
+        assert py1 == c1, (py1, c1)
+        assert _C.arg_signature(k2) != c1
+    # nested inside args/kwargs through call_signature
+    py = (S.arg_signature((k1,), True), S.arg_signature({"k": k2}, True))
+    assert _C.call_signature((k1,), {"k": k2}) == py
+
+
 def test_dispatch_uses_native(monkeypatch):
     """call_signature routes through _C when present."""
     called = {}

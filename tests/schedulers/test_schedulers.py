@@ -157,3 +157,87 @@ def test_v_prediction_ddim():
         v = a * n - s * x0  # exact v for this problem
         x, st = sch.step(st, v, i, x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+
+# ---- img2img entry: add_noise lives in each scheduler's sample space ----
+
+
+def test_euler_add_noise_is_x_space():
+    """Euler latents are kd x-space: add_noise must be z + sigma·noise
+    (diffusers EulerDiscrete.add_noise) — the VP formula would
+    under-scale start latents by 1/sqrt(1+sigma²) at high strength."""
+    sch = EulerDiscreteScheduler()
+    st = sch.set_timesteps(10)
+    z, n = _problem()
+    for i in (0, 4, 9):
+        out = sch.add_noise(st, z, n, i)
+        expected = z + st["sigmas"][i] * n
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-6)
+
+
+def test_dpm_add_noise_is_vp_space():
+    sch = DPMSolverMultistepScheduler()
+    st = sch.set_timesteps(10)
+    z, n = _problem()
+    sig = st["sigmas"][4]
+    a = 1.0 / jnp.sqrt(1 + sig**2)
+    out = sch.add_noise(st, z, n, 4)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(a * z + sig * a * n), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "make_sch", [EulerDiscreteScheduler, DPMSolverMultistepScheduler]
+)
+def test_img2img_entry_recovers_x0(make_sch):
+    """add_noise at start_index then denoising the remaining steps with
+    the exact-eps model must recover the original — the property that was
+    broken for Euler when the VP formula was used for kd x-space."""
+    sch = make_sch()
+    num_steps, start = 20, 7
+    st = sch.set_timesteps(num_steps)
+    x0, n = _problem()
+    if hasattr(sch, "prepare_state"):
+        st = sch.prepare_state(st, x0)
+    x = sch.add_noise(st, x0, n, start)
+    for i in range(start, num_steps):
+        if isinstance(sch, EulerDiscreteScheduler):
+            eps = (x - x0) / st["sigmas"][i]  # exact model in x-space
+        else:
+            sig = st["sigmas"][i]
+            a = 1.0 / jnp.sqrt(1 + sig**2)
+            eps = (x - a * x0) / (sig * a)  # exact model in VP space
+        x, st = sch.step(st, eps, i, x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=2e-3, atol=2e-3)
+
+
+def test_dpm_first_executed_step_is_first_order():
+    """Entering the loop at i>0 (img2img) must take a FIRST-order step:
+    there is no x0 history, and the second-order update would inject a
+    spurious 0.5·(x0/r) term against x0_prev=0 (diffusers guards this
+    with lower_order_nums)."""
+    sch = DPMSolverMultistepScheduler()
+    st = sch.set_timesteps(10)
+    x0, n = _problem()
+    st = sch.prepare_state(st, x0)
+    start = 3
+    sig = st["sigmas"][start]
+    a = 1.0 / jnp.sqrt(1 + sig**2)
+    x = a * x0 + sig * a * n
+
+    out, st2 = sch.step(st, n, start, x)
+
+    # manual first-order DPM++ update
+    sig_t = st["sigmas"][start + 1]
+    a_t = 1.0 / jnp.sqrt(1 + sig_t**2)
+    st_t = sig_t * a_t
+    st_s0 = sig * a
+    h = jnp.log(a_t / st_t) - jnp.log(a / st_s0)
+    x0_pred = (x - st_s0 * n) / a
+    expected = (st_t / st_s0) * x - a_t * jnp.expm1(-h) * x0_pred
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
+    # and the NEXT step must use second order (history now exists)
+    assert bool(st2["has_history"])

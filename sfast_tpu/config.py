@@ -86,6 +86,11 @@ class CompilationConfig:
     enable_fused_linear_geglu: bool = False
     prefer_lowp_gemm: bool = dataclasses.field(default_factory=_default_lowp)
     enable_flash_attention: bool = True
+    # int8-compute attention (SageAttention-style quantization in the
+    # Pallas flash kernel; v5e int8 MXU ≈ 2× bf16).  ~1e-2 relative
+    # output error — the same speed/quality trade the reference's
+    # fp16-accumulation lowp GEMMs make (its CompilationConfig:44-48).
+    enable_int8_attention: bool = False
     enable_aot_cache: bool = True
     enable_pallas: bool = True
     trace_scheduler: bool = True

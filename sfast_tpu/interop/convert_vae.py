@@ -101,3 +101,85 @@ def convert_vae_params(sd: dict, cfg: VAEConfig):
         "quant_conv": _conv(sd, "quant_conv", dt),
         "post_quant_conv": _conv(sd, "post_quant_conv", dt),
     }
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKLTemporalDecoder (SVD video VAE)
+# ---------------------------------------------------------------------------
+
+
+def temporal_vae_config_from_diffusers(cfg: Dict[str, Any], dtype=jnp.bfloat16):
+    from sfast_tpu.models.autoencoder_kl_temporal import TemporalVAEConfig
+
+    return TemporalVAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+        dtype=dtype,
+    )
+
+
+def _encoder_params(sd, cfg, dt):
+    n = len(cfg.block_out_channels)
+    enc: dict = {
+        "conv_in": _conv(sd, "encoder.conv_in", dt),
+        "down_blocks": [],
+        "mid": _mid(sd, "encoder.mid_block.", dt),
+        "norm_out": _norm(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out", dt),
+    }
+    for i in range(n):
+        pre = f"encoder.down_blocks.{i}."
+        blk = {
+            "resnets": [
+                _resnet(sd, f"{pre}resnets.{j}.", dt)
+                for j in range(cfg.layers_per_block)
+            ]
+        }
+        if f"{pre}downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = {"conv": _conv(sd, f"{pre}downsamplers.0.conv", dt)}
+        enc["down_blocks"].append(blk)
+    return enc
+
+
+def convert_temporal_vae_params(sd: dict, cfg) -> dict:
+    """diffusers AutoencoderKLTemporalDecoder state_dict → sfast_tpu params.
+
+    Decoder naming: SpatioTemporalResBlock = ``spatial_res_block`` +
+    ``temporal_res_block`` + ``time_mixer.mix_factor``; single mid-block
+    attention; final ``time_conv_out`` Conv3d; no post_quant_conv."""
+    from sfast_tpu.interop.convert_svd import _conv3d, _st_resnet
+
+    dt = cfg.dtype
+    n = len(cfg.block_out_channels)
+
+    def st_resnets(pre, count):
+        return [_st_resnet(sd, f"{pre}resnets.{j}.", dt) for j in range(count)]
+
+    dec: dict = {
+        "conv_in": _conv(sd, "decoder.conv_in", dt),
+        "mid": {
+            "resnets": st_resnets("decoder.mid_block.", cfg.layers_per_block),
+            "attn": _vae_attention(sd, "decoder.mid_block.attentions.0.", dt),
+        },
+        "up_blocks": [],
+        "norm_out": _norm(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out", dt),
+        "time_conv_out": _conv3d(sd, "decoder.time_conv_out", dt),
+    }
+    for i in range(n):
+        pre = f"decoder.up_blocks.{i}."
+        blk = {"resnets": st_resnets(pre, cfg.layers_per_block + 1)}
+        if f"{pre}upsamplers.0.conv.weight" in sd:
+            blk["upsample"] = {"conv": _conv(sd, f"{pre}upsamplers.0.conv", dt)}
+        dec["up_blocks"].append(blk)
+
+    return {
+        "encoder": _encoder_params(sd, cfg, dt),
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv", dt),
+    }

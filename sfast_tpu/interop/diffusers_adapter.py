@@ -53,14 +53,27 @@ def convert_svd_unet(torch_unet, dtype):
 
 def convert_vae(torch_vae, dtype):
     from sfast_tpu.interop.convert_vae import (
+        convert_temporal_vae_params,
         convert_vae_params,
+        temporal_vae_config_from_diffusers,
         vae_config_from_diffusers,
     )
     from sfast_tpu.models.autoencoder_kl import create_vae
+    from sfast_tpu.models.autoencoder_kl_temporal import create_temporal_vae
     from sfast_tpu.models.layers import device_put_tree
 
+    sd = torch_vae.state_dict()
+    # SVD ships AutoencoderKLTemporalDecoder: no post_quant_conv, decoder
+    # with spatio-temporal resnets + time_conv_out
+    if (
+        type(torch_vae).__name__ == "AutoencoderKLTemporalDecoder"
+        or "decoder.time_conv_out.weight" in sd
+    ):
+        tcfg = temporal_vae_config_from_diffusers(dict(torch_vae.config), dtype)
+        params = convert_temporal_vae_params(sd, tcfg)
+        return create_temporal_vae(tcfg, params=device_put_tree(params))
     cfg = vae_config_from_diffusers(dict(torch_vae.config), dtype)
-    params = convert_vae_params(torch_vae.state_dict(), cfg)
+    params = convert_vae_params(sd, cfg)
     return create_vae(cfg, params=device_put_tree(params))
 
 

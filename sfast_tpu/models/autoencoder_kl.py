@@ -165,12 +165,12 @@ def vae_decode_fwd(
         params["post_quant_conv"]["b"],
     )
     h = conv2d(h, p["conv_in"]["w"], p["conv_in"]["b"], padding=1)
-    h = L.resnet_block_fwd(p["mid"]["resnet1"], h, groups=groups, gn_backend=be)
+    h = L.resnet_block_fwd(p["mid"]["resnet1"], h, groups=groups, eps=1e-6, gn_backend=be)
     h = _vae_attention_fwd(p["mid"]["attn"], h, groups=groups)
-    h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, gn_backend=be)
+    h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, eps=1e-6, gn_backend=be)
     for blk in p["up_blocks"]:
         for rn in blk["resnets"]:
-            h = L.resnet_block_fwd(rn, h, groups=groups, gn_backend=be)
+            h = L.resnet_block_fwd(rn, h, groups=groups, eps=1e-6, gn_backend=be)
         if "upsample" in blk:
             h = L.upsample_fwd(blk["upsample"], h)
     h = group_norm(
@@ -191,12 +191,12 @@ def vae_encode_fwd(
     h = conv2d(image.astype(cfg.dtype), p["conv_in"]["w"], p["conv_in"]["b"], padding=1)
     for blk in p["down_blocks"]:
         for rn in blk["resnets"]:
-            h = L.resnet_block_fwd(rn, h, groups=groups, gn_backend=be)
+            h = L.resnet_block_fwd(rn, h, groups=groups, eps=1e-6, gn_backend=be)
         if "downsample" in blk:
             h = L.downsample_fwd(blk["downsample"], h)
-    h = L.resnet_block_fwd(p["mid"]["resnet1"], h, groups=groups, gn_backend=be)
+    h = L.resnet_block_fwd(p["mid"]["resnet1"], h, groups=groups, eps=1e-6, gn_backend=be)
     h = _vae_attention_fwd(p["mid"]["attn"], h, groups=groups)
-    h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, gn_backend=be)
+    h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, eps=1e-6, gn_backend=be)
     h = group_norm(
         h, p["norm_out"]["scale"], p["norm_out"]["bias"], groups=groups, eps=1e-6,
         act="silu", backend=be,

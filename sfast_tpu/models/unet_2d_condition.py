@@ -243,7 +243,12 @@ def _backends(ccfg: CompilationConfig):
     if not ccfg.enable_pallas:
         return dict(gn="xla", attn="xla", geglu="xla")
     gn = None if ccfg.enable_fused_group_norm else "xla"
-    attn = None if ccfg.enable_flash_attention else "xla"
+    if not ccfg.enable_flash_attention:
+        attn = "xla"
+    elif getattr(ccfg, "enable_int8_attention", False):
+        attn = "int8"  # auto rule, int8 flash above the length threshold
+    else:
+        attn = None
     geglu = None if ccfg.enable_fused_linear_geglu else "xla"
     return dict(gn=gn, attn=attn, geglu=geglu)
 

@@ -128,13 +128,24 @@ def _conv_temporal(x5, w, b):
     return (y + b.astype(jnp.float32)).astype(x5.dtype)
 
 
-def _temporal_resnet_fwd(p, x5, temb=None, *, groups, gn_backend):
+def _gn_over_frames(x5, norm_p, *, groups, gn_backend):
+    """GroupNorm of a (B, F, H, W, C) video, with statistics over
+    (C/G, F, H, W) per sample — diffusers' TemporalResnetBlock applies
+    torch GroupNorm to (B, C, F, H, W), so frames share the statistics.
+    Folding F into a spatial axis makes the NHWC kernel compute the same
+    reduction (normalizing per-frame instead is a silent numerics bug)."""
     b, f, hh, ww, c = x5.shape
     h = group_norm(
-        x5.reshape(b * f, hh, ww, c),
-        p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, act="silu",
+        x5.reshape(b, f * hh, ww, c),
+        norm_p["scale"], norm_p["bias"], groups=groups, act="silu",
         backend=gn_backend,
-    ).reshape(b, f, hh, ww, c)
+    )
+    return h.reshape(b, f, hh, ww, c)
+
+
+def _temporal_resnet_fwd(p, x5, temb=None, *, groups, gn_backend):
+    b, f, hh, ww, c = x5.shape
+    h = _gn_over_frames(x5, p["norm1"], groups=groups, gn_backend=gn_backend)
     h = _conv_temporal(h, p["conv1"]["w"], p["conv1"]["b"])
     if temb is not None and "time_emb_proj" in p:
         te = L.apply_linear(
@@ -142,11 +153,7 @@ def _temporal_resnet_fwd(p, x5, temb=None, *, groups, gn_backend):
             jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
         )  # (B*F, C)
         h = h + te.reshape(b, f, 1, 1, c).astype(h.dtype)
-    h = group_norm(
-        h.reshape(b * f, hh, ww, c),
-        p["norm2"]["scale"], p["norm2"]["bias"], groups=groups, act="silu",
-        backend=gn_backend,
-    ).reshape(b, f, hh, ww, c)
+    h = _gn_over_frames(h, p["norm2"], groups=groups, gn_backend=gn_backend)
     h = _conv_temporal(h, p["conv2"]["w"], p["conv2"]["b"])
     return x5 + h
 

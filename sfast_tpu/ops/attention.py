@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from sfast_tpu.ops.flash_attention import flash_attention
+from sfast_tpu.ops.flash_attention import flash_attention, flash_attention_int8
 
 # Below this q-length the XLA path wins (score matrix fits easily and
 # avoids kernel pipeline setup).  Validated end-to-end on SD1.5 512²
@@ -61,15 +61,26 @@ def dot_product_attention(
     *,
     scale: Optional[float] = None,
     causal: bool = False,
-    backend: Optional[str] = None,  # None=auto | 'flash' | 'xla'
+    backend: Optional[str] = None,  # None=auto | 'flash' | 'flash_int8' | 'int8' | 'xla'
     interpret: bool = False,
 ) -> jax.Array:
-    """Attention over (batch, heads, seq, head_dim)."""
-    if backend is None:
+    """Attention over (batch, heads, seq, head_dim).
+
+    ``backend='int8'`` is the auto rule with the int8-compute flash
+    kernel preferred above the length threshold (short sequences still
+    route to XLA, where quantization overhead cannot pay for itself);
+    ``'flash_int8'`` forces the int8 kernel unconditionally.
+    """
+    if backend is None or backend == "int8":
         use_flash = q.shape[-2] >= _FLASH_MIN_Q
-        backend = "flash" if use_flash else "xla"
+        flash_kind = "flash_int8" if backend == "int8" else "flash"
+        backend = flash_kind if use_flash else "xla"
     if backend == "flash":
         return flash_attention(
+            q, k, v, scale=scale, causal=causal, interpret=interpret
+        )
+    if backend == "flash_int8":
+        return flash_attention_int8(
             q, k, v, scale=scale, causal=causal, interpret=interpret
         )
     if backend == "xla":

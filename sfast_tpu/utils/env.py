@@ -43,6 +43,12 @@ def enable_persistent_compilation_cache(cache_dir=None):
         # executable is our steady-state path (≙ cudaGraphLaunch).
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # also persist XLA-internal caches (autotune results etc.) so the
+        # warm start skips re-autotuning, not just re-lowering
+        try:
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        except Exception:
+            pass
     except Exception as e:  # pragma: no cover - config names vary by jax version
         logger.warning("could not enable persistent compilation cache: %s", e)
     return cache_dir

@@ -98,3 +98,49 @@ def test_custom_scale():
     out = flash_attention(q, k, v, scale=0.5, interpret=True, block_q=64, block_k=64)
     ref = _ref_attention(q, k, v, scale=0.5)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_int8_matches_reference():
+    """int8-compute flash vs f32 reference: quantization error bounded.
+    K mean-centering + V mean-centering keep the error ~1e-2 relative on
+    gaussian inputs (SageAttention-style design)."""
+    from sfast_tpu.ops.flash_attention import flash_attention_int8
+
+    B, H, S, D = 1, 2, 256, 40
+    q = jax.random.normal(jax.random.key(0), (B, H, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, H, S, D), jnp.float32) + 0.7
+    v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.float32) - 0.3
+    ref = xla_attention(q, k, v)
+    out = flash_attention_int8(q, k, v, block_q=128, block_k=128, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    rms = np.sqrt((err**2).mean()) / np.sqrt((np.asarray(ref) ** 2).mean())
+    # int8 p/v quantization floor: ~0.7% RMS, few-% max (SageAttention-
+    # class); bf16 itself is ~0.4% — the e2e latent test guards quality
+    assert err.max() / scale < 0.04, (err.max(), scale)
+    assert rms < 0.015, rms
+
+
+def test_flash_int8_kv_padding_masked():
+    """kv length not a block multiple: padded rows must not leak into
+    the softmax (int8 zero-scores are 0, not -inf — needs the mask)."""
+    from sfast_tpu.ops.flash_attention import flash_attention_int8
+
+    q = jax.random.normal(jax.random.key(0), (1, 1, 128, 32), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 1, 77, 32), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 1, 77, 32), jnp.float32)
+    ref = xla_attention(q, k, v)
+    out = flash_attention_int8(q, k, v, block_q=128, block_k=128, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err / np.abs(np.asarray(ref)).max() < 0.03, err
+
+
+def test_int8_backend_dispatch():
+    """backend='int8' routes short sequences to XLA, long to the int8
+    flash kernel."""
+    from sfast_tpu.ops import attention as A
+
+    q = jax.random.normal(jax.random.key(0), (1, 1, 64, 32), jnp.float32)
+    short = A.dot_product_attention(q, q, q, backend="int8", interpret=True)
+    ref = A.xla_attention(q, q, q)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -115,3 +115,75 @@ def test_ip_adapter_through_pipeline():
     assert np.abs(np.asarray(base) - np.asarray(with_ip)).max() > 0
     zero_scale = pipe(ip_adapter_embeds=tokens, ip_adapter_scale=0.0, **kw).images
     np.testing.assert_allclose(np.asarray(zero_scale), np.asarray(base), atol=1e-5)
+
+
+def test_instant_id_composition_controlnet_plus_ip_adapter():
+    """InstantID = ControlNet (spatial keypoints) + IP-Adapter (identity
+    tokens) in ONE pipeline call (≙ reference
+    examples/optimize_instant_id_pipeline.py composition).  Both branches
+    must be active and independently scalable."""
+    import dataclasses as dc
+    from sfast_tpu.ip_adapter import init_ip_adapter_params, ip_image_embed
+    from sfast_tpu.models.controlnet import ControlNetConfig, create_controlnet
+
+    cfg_u = dc.replace(TINY_UNET, cross_attention_dim=64)
+    cfg_c = ControlNetConfig(
+        unet=cfg_u, conditioning_embedding_out_channels=(16, 32)
+    )
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    unet = create_unet(cfg_u, jax.random.key(1))
+    ip_params, image_proj = init_ip_adapter_params(
+        jax.random.key(5), cfg_u, unet.params, clip_embed_dim=32
+    )
+    controlnet = create_controlnet(cfg_c, jax.random.key(3))
+    # the output convs are ZERO-initialized (diffusers zero-conv design),
+    # so a fresh ControlNet is inert by construction — randomize them so
+    # the branch actually contributes in this test
+    cn_params = dict(controlnet.params)
+    cn_params["controlnet_down_blocks"] = [
+        jax.tree_util.tree_map(
+            lambda a: jax.random.normal(jax.random.key(11 + i), a.shape, a.dtype)
+            * 0.1,
+            zc,
+        )
+        for i, zc in enumerate(cn_params["controlnet_down_blocks"])
+    ]
+    cn_params["controlnet_mid_block"] = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.key(99), a.shape, a.dtype) * 0.1,
+        cn_params["controlnet_mid_block"],
+    )
+    pipe = StableDiffusionPipeline(
+        unet=unet.replace_params(ip_params),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        controlnet=controlnet.replace_params(cn_params),
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    tokens = ip_image_embed(image_proj, jnp.ones((1, 32)))
+    tokens = jnp.concatenate([jnp.zeros_like(tokens), tokens], axis=0)
+    kps = np.zeros((1, 32, 32, 3), np.uint8)
+    kps[:, 8:12, 8:12] = 255
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=32, width=32, num_inference_steps=2,
+              seed=0, output_type="latent")
+
+    both = pipe(control_image=kps, ip_adapter_embeds=tokens, **kw).images
+    only_cn = pipe(control_image=kps, **kw).images
+    only_ip = pipe(ip_adapter_embeds=tokens, **kw).images
+    # each branch contributes
+    assert np.abs(np.asarray(both) - np.asarray(only_cn)).max() > 0
+    assert np.abs(np.asarray(both) - np.asarray(only_ip)).max() > 0
+    # scales kill each branch independently
+    cn_off = pipe(
+        control_image=kps, controlnet_conditioning_scale=0.0,
+        ip_adapter_embeds=tokens, **kw,
+    ).images
+    ip_off = pipe(
+        control_image=kps, ip_adapter_embeds=tokens, ip_adapter_scale=0.0, **kw
+    ).images
+    np.testing.assert_allclose(np.asarray(ip_off), np.asarray(only_cn), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn_off), np.asarray(only_ip), atol=1e-4)
+    assert np.abs(np.asarray(cn_off) - np.asarray(both)).max() > 0

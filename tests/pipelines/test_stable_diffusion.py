@@ -167,3 +167,41 @@ def test_default_uncond_is_bos_eos_pad(compiled_pipe):
     eos = 49407
     np.testing.assert_array_equal(np.asarray(neg[:, 1]), eos)
     np.testing.assert_array_equal(np.asarray(neg[:, 2:]), eos)
+
+
+def test_int8_attention_pipeline_quality(monkeypatch):
+    """enable_int8_attention must produce latents close to the bf16
+    attention path end-to-end (the quality gate for the int8 MXU trade)."""
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=128, width=128, num_inference_steps=3,
+              seed=11, output_type="latent")
+    ref_pipe = sfast_tpu.compile(_tiny_pipe(), CCFG)
+    ref = np.asarray(ref_pipe(**kw).images)
+
+    # force the int8 kernel on all non-trivial seqs (tiny shapes route to
+    # XLA under the auto rule, which would make this test vacuous), in
+    # interpret mode so it runs on CPU
+    from sfast_tpu.ops import attention as A
+    import sfast_tpu.models.layers as L
+
+    orig = A.dot_product_attention
+
+    def forced(q, k, v, **akw):
+        if akw.get("backend") == "int8" and q.shape[-2] >= 64:
+            akw["backend"] = "flash_int8"
+            akw["interpret"] = True
+        return orig(q, k, v, **akw)
+
+    monkeypatch.setattr(A, "dot_product_attention", forced)
+    monkeypatch.setattr(L, "dot_product_attention", forced)  # import-time bind
+
+    int8_pipe = sfast_tpu.compile(
+        _tiny_pipe(),
+        CCFG.replace(enable_pallas=True, enable_flash_attention=True,
+                     enable_int8_attention=True),
+    )
+    out = np.asarray(int8_pipe(**kw).images)
+    err = np.abs(out - ref)
+    rel = np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean())
+    assert rel < 0.05, rel  # latent-space RMS within 5% after 3 steps
+    assert err.max() > 0  # and the int8 path actually ran (not identical)

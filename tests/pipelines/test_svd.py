@@ -12,6 +12,10 @@ from sfast_tpu.models.unet_spatio_temporal import (
     create_svd_unet,
 )
 from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+from sfast_tpu.models.autoencoder_kl_temporal import (
+    TINY_TEMPORAL_VAE,
+    create_temporal_vae,
+)
 from sfast_tpu.models.clip_vision import TINY_IMAGE_ENCODER, create_image_encoder
 from sfast_tpu.schedulers.edm_euler import EDMEulerScheduler
 from sfast_tpu.pipelines.stable_video_diffusion import StableVideoDiffusionPipeline
@@ -76,7 +80,9 @@ def test_edm_scale_model_input():
 
 @pytest.fixture(scope="module")
 def svd_pipe():
-    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    # real SVD checkpoints ship AutoencoderKLTemporalDecoder — the
+    # pipeline decodes through it with frame-aware chunks
+    dec, enc = create_temporal_vae(TINY_TEMPORAL_VAE, jax.random.key(0))
     pipe = StableVideoDiffusionPipeline(
         unet=create_svd_unet(TINY_SVD_UNET, jax.random.key(1)),
         vae=dec,
@@ -85,6 +91,22 @@ def svd_pipe():
         dtype=jnp.float32,
     )
     return sfast_tpu.compile(pipe, CCFG)
+
+
+def test_svd_pipeline_standard_vae_still_works():
+    """Per-frame decode with a standard KL decoder remains supported."""
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableVideoDiffusionPipeline(
+        unet=create_svd_unet(TINY_SVD_UNET, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        image_encoder=create_image_encoder(TINY_IMAGE_ENCODER, jax.random.key(2)),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    img = np.random.RandomState(0).randint(0, 255, (1, 32, 32, 3), np.uint8)
+    out = pipe(img, num_frames=2, height=32, width=32, num_inference_steps=1)
+    assert out.images.shape == (1, 2, 32, 32, 3)
 
 
 def test_svd_pipeline_end_to_end(svd_pipe):

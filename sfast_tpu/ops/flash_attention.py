@@ -55,6 +55,7 @@ def _flash_kernel(
     causal: bool,
     block_q: int,
     need_mask: bool = True,
+    softmax_dtype=jnp.float32,
 ):
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -94,10 +95,14 @@ def _flash_kernel(
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
-    p = jnp.exp(s - m_next[:, :1])  # (block_q, block_k)
+    # softmax_dtype=bfloat16 runs the big (block_q, block_k) exp on the
+    # VPU at packed-bf16 rate and feeds the MXU without a cast pass; the
+    # row-sum still accumulates in f32 (exact).  ~0.4% p error — the
+    # same trade as the reference's fp16-accum lowp GEMMs.
+    p = jnp.exp((s - m_next[:, :1]).astype(softmax_dtype))
     alpha = jnp.exp(m_prev - m_next)  # (block_q, LANES)
     l_next = l_prev * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), l_prev.shape
     )
 
     m_scratch[:] = m_next
@@ -365,6 +370,7 @@ def flash_attention(
     # softmax carry; (1024,1024) keeps ~7 MB VMEM headroom.
     block_q: int = 1024,
     block_k: int = 1024,
+    softmax_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jax.Array:
     """Blockwise attention over (B, H, S, D) tensors.
@@ -406,6 +412,7 @@ def flash_attention(
         causal=causal,
         block_q=block_q,
         need_mask=causal or (sk_p != sk),
+        softmax_dtype=softmax_dtype,
     )
 
     out = pl.pallas_call(

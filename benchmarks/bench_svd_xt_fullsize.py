@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""SVD-XT full-size attempt: 25 frames @ 576x1024 (BASELINE.md row 2:
+reference 47 s/clip on a datacenter GPU).  Zero weights on device
+(latency is value-independent on TPU); measures s/step for the CFG UNet
+and the chunked temporal-VAE decode."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.models.unet_spatio_temporal import (
+    SVD_UNET, init_svd_unet_params, create_svd_unet,
+)
+from sfast_tpu.models.autoencoder_kl_temporal import (
+    SVD_VAE, init_temporal_vae_params, create_temporal_vae,
+)
+from sfast_tpu.models.clip_vision import VIT_H_IMAGE_ENCODER, create_image_encoder
+from sfast_tpu.pipelines.stable_video_diffusion import StableVideoDiffusionPipeline
+
+FRAMES = int(os.environ.get("SVD_FRAMES", "25"))
+H = int(os.environ.get("SVD_H", "576"))
+W = int(os.environ.get("SVD_W", "1024"))
+STEPS = int(os.environ.get("SVD_STEPS", "3"))
+CHUNK = int(os.environ.get("SVD_CHUNK", "5"))
+
+
+def zeros_on_device(init_fn):
+    host = init_fn()
+    shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
+    )
+    del host
+    return jax.jit(
+        lambda: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )()
+
+
+def main():
+    t0 = time.time()
+    unet_p = zeros_on_device(lambda: init_svd_unet_params(0, SVD_UNET))
+    vae_p = zeros_on_device(lambda: init_temporal_vae_params(1, SVD_VAE))
+    dec, enc = create_temporal_vae(SVD_VAE, params=vae_p)
+    pipe = StableVideoDiffusionPipeline(
+        unet=create_svd_unet(SVD_UNET, params=unet_p),
+        vae=dec,
+        vae_encode=enc,
+        image_encoder=create_image_encoder(VIT_H_IMAGE_ENCODER),
+    )
+    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    print(f"build {time.time()-t0:.0f}s", flush=True)
+
+    import numpy as np
+
+    img = np.zeros((1, H, W, 3), np.uint8)
+    t0 = time.time()
+    out = pipe(
+        img, num_frames=FRAMES, height=H, width=W,
+        num_inference_steps=STEPS, decode_chunk_size=CHUNK, seed=0,
+    )
+    dt = time.time() - t0
+    print(
+        f"SVD {FRAMES}f @{H}x{W}: {STEPS} steps + decode in {dt:.1f}s "
+        f"(incl. compile on first call)", flush=True,
+    )
+    t0 = time.time()
+    out = pipe(
+        img, num_frames=FRAMES, height=H, width=W,
+        num_inference_steps=STEPS, decode_chunk_size=CHUNK, seed=1,
+    )
+    dt = time.time() - t0
+    per_step = dt / STEPS
+    est_25 = per_step * 25
+    print(
+        f"steady: {dt:.1f}s for {STEPS} steps + decode "
+        f"({per_step:.2f} s/step-with-decode-amortized; "
+        f"25-step clip ≈ {est_25:.0f}s)  shape={out.images.shape}"
+    )
+
+
+if __name__ == "__main__":
+    main()

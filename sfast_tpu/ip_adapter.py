@@ -138,7 +138,9 @@ def init_ip_adapter_params(
         node = _get(new_params, path)
         to_k = node["to_k"]
         # weight may be int8-quantized (w_q) — same (in, out) layout
-        dim = (to_k["w"] if "w" in to_k else to_k["w_q"]).shape[1]
+        dim = (
+            to_k["w"] if "w" in to_k else to_k.get("w_q", to_k.get("w_q8"))
+        ).shape[1]
         ctx = unet_cfg.cross_attention_dim
         node["ip_to_k"] = {"w": jnp.asarray(L._randn(gen, (ctx, dim), dtype, 0.02))}
         node["ip_to_v"] = {"w": jnp.asarray(L._randn(gen, (ctx, dim), dtype, 0.02))}

@@ -124,7 +124,12 @@ def apply_conv(p: Params, x: jax.Array, **kw) -> jax.Array:
 
 def apply_linear(p: Params, x: jax.Array, act: Optional[str] = None) -> jax.Array:
     """Linear through a param dict — transparently picks up int8
-    weight-only quantized weights (``quant/dynamic_quant.py``)."""
+    quantized weights (``quant/dynamic_quant.py``): ``w_q`` = W8A16
+    (memory win), ``w_q8`` = W8A8 (full-int8 compute)."""
+    if "w_q8" in p:
+        from sfast_tpu.ops.quant import linear_w8a8
+
+        return linear_w8a8(x, p["w_q8"], p["w_scale"], p.get("b"), act=act)
     if "w_q" in p:
         from sfast_tpu.ops.quant import int8_linear
 
@@ -355,7 +360,7 @@ def feed_forward_fwd(
     p: Params, x: jax.Array, *, geglu_backend: Optional[str] = None
 ) -> jax.Array:
     proj = p["proj"]
-    if "w_q" in proj:
+    if "w" not in proj:  # int8-quantized fused GEGLU weight
         y = apply_linear(proj, x)
         # diffusers GEGLU: hidden * gelu(gate), gate = SECOND chunk
         # (reference jit_pass_fuse_linear_geglu pattern binding)

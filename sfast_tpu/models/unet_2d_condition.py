@@ -243,7 +243,17 @@ def _backends(ccfg: CompilationConfig):
     if not ccfg.enable_pallas:
         return dict(gn="xla", attn="xla", geglu="xla")
     gn = None if ccfg.enable_fused_group_norm else "xla"
-    if not ccfg.enable_flash_attention:
+    mesh = getattr(ccfg, "mesh", None)
+    if (
+        mesh is not None
+        and "sp" in getattr(mesh, "axis_names", ())
+        and mesh.shape["sp"] > 1
+    ):
+        # sequence-parallel: shard the self-attention sequence over the
+        # 'sp' mesh axis (ring attention via ppermute) — the long-context
+        # path for videos/resolutions that exceed one chip's HBM
+        attn = ("ring", mesh, "sp")
+    elif not ccfg.enable_flash_attention:
         attn = "xla"
     elif getattr(ccfg, "enable_int8_attention", False):
         attn = "int8"  # auto rule, int8 flash above the length threshold

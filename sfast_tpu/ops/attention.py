@@ -85,4 +85,19 @@ def dot_product_attention(
         )
     if backend == "xla":
         return xla_attention(q, k, v, scale=scale, causal=causal)
+    if isinstance(backend, tuple) and backend and backend[0] == "ring":
+        # sequence-parallel ring attention over a mesh axis:
+        # backend = ("ring", mesh, axis_name) — selected by _backends when
+        # the compile mesh has a >1 'sp' axis (long-context path)
+        if causal:
+            raise NotImplementedError("ring attention is non-causal here")
+        from sfast_tpu.parallel.ring_attention import ring_attention
+
+        _, mesh, axis = backend
+        n = mesh.shape[axis]
+        if q.shape[-2] % n != 0 or k.shape[-2] % n != 0:
+            # sequence not divisible by the ring (e.g. 77-token
+            # cross-attention context) — route to the dense path
+            return xla_attention(q, k, v, scale=scale, causal=causal)
+        return ring_attention(q, k, v, scale=scale, mesh=mesh, axis=axis)
     raise ValueError(f"unknown attention backend: {backend}")

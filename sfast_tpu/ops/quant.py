@@ -85,6 +85,40 @@ def conv2d_w8a8(
     return y.astype(x.dtype)
 
 
+def linear_w8a8(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    act: Optional[str] = None,
+) -> jax.Array:
+    """Full-int8 linear (W8A8): dynamic per-tensor activation quant,
+    int8×int8→int32 MXU matmul, f32 dequant with per-out-channel weight
+    scales.  The compute-side extension of the reference's memory-only
+    W8A16 cutlass path (its fp16-accum lowp GEMM is the analogous
+    speed/quality trade)."""
+    xq, x_scale = dynamic_quant_per_tensor(x)
+    y = jax.lax.dot_general(
+        xq,
+        wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (x_scale * w_scale)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    elif act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act is not None:
+        raise ValueError(f"unknown activation: {act}")
+    return y.astype(x.dtype)
+
+
 def int8_linear(
     x: jax.Array,
     wq: jax.Array,

@@ -34,9 +34,15 @@ def quantize_linear_params(
     params,
     targets: Tuple[str, ...] = _DEFAULT_TARGETS,
     min_features: int = 64,
+    mode: str = "w8a16",  # 'w8a16' (memory win) | 'w8a8' (int8 compute)
 ):
     """Return a new tree where every 2-D ``w`` under a target key becomes
-    ``{"w_q": int8, "w_scale": f32}`` (bias preserved)."""
+    ``{"w_q": int8, "w_scale": f32}`` (bias preserved).  ``mode='w8a8'``
+    stores the weight under ``w_q8`` instead, which routes the forward
+    through the full-int8 matmul (dynamic activation quantization)."""
+    key = "w_q8" if mode == "w8a8" else "w_q"
+    if mode not in ("w8a16", "w8a8"):
+        raise ValueError(mode)
 
     def rebuild(tree, path=()):
         if isinstance(tree, dict):
@@ -49,7 +55,7 @@ def quantize_linear_params(
             ):
                 wq, scale = quantize_weight(tree["w"])
                 out = {k: v for k, v in tree.items() if k != "w"}
-                out["w_q"] = wq
+                out[key] = wq
                 out["w_scale"] = scale
                 return out
             return {k: rebuild(v, path + (k,)) for k, v in tree.items()}

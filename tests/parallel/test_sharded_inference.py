@@ -108,3 +108,20 @@ def test_custom_sharding_rules():
     ]["w"]
     assert qw.sharding.spec == P("tp", None)
     assert kw.sharding.spec == P()  # unmatched -> replicated
+
+
+def test_ring_attention_dispatch_through_compile():
+    """A mesh with a >1 'sp' axis routes self-attention through ring
+    attention (ppermute ring over the sequence); result matches the
+    single-device pipeline exactly."""
+    ref_unet = create_unet(TINY_UNET64, jax.random.key(1))
+    x = jnp.ones((2, 16, 16, 4), jnp.float32) * 0.1
+    t = jnp.full((2,), 500.0, jnp.float32)
+    ctx = jnp.ones((2, 7, 64), jnp.float32) * 0.05
+    ref = np.asarray(compile_model(ref_unet, CCFG, name="u0")(x, t, ctx))
+
+    mesh = make_mesh((1, 1, 4), ("dp", "tp", "sp"), devices=jax.devices()[:4])
+    sp_unet = create_unet(TINY_UNET64, jax.random.key(1))
+    m = compile_model(sp_unet, CCFG.replace(mesh=mesh), name="u_sp")
+    out = np.asarray(m(x, t, ctx))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

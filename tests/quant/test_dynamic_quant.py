@@ -121,3 +121,31 @@ def test_w8a8_unet_runs():
         np.abs(np.asarray(ref)).mean() + 1e-6
     )
     assert rel < 0.2, rel
+
+
+def test_w8a8_linear_close_to_fp():
+    from sfast_tpu.ops.quant import linear_w8a8, quantize_weight
+
+    x = jax.random.normal(jax.random.key(0), (32, 128), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (128, 64), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.key(2), (64,), jnp.float32)
+    wq, scale = quantize_weight(w)
+    out = linear_w8a8(x, wq, scale, b)
+    ref = x @ w + b
+    err = jnp.abs(out - ref).max() / jnp.abs(ref).max()
+    assert float(err) < 3e-2, float(err)
+
+
+def test_w8a8_mode_routes_through_full_int8():
+    """mode='w8a8' stores w_q8 and apply_linear picks the full-int8 path."""
+    from sfast_tpu.quant.dynamic_quant import quantize_linear_params
+    from sfast_tpu.models import layers as L
+
+    params = {"to_q": {"w": jax.random.normal(jax.random.key(0), (128, 128), jnp.float32) * 0.1}}
+    q = quantize_linear_params(params, mode="w8a8")
+    assert "w_q8" in q["to_q"] and "w" not in q["to_q"]
+    x = jax.random.normal(jax.random.key(1), (4, 128), jnp.float32)
+    out = L.apply_linear(q["to_q"], x)
+    ref = x @ params["to_q"]["w"]
+    err = jnp.abs(out - ref).max() / jnp.abs(ref).max()
+    assert float(err) < 4e-2, float(err)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""UNet eval timing/profiling harness with tunnel-proof methodology.
+
+Two lessons from round 2 measurement archaeology (2026-08):
+
+1. ``block_until_ready`` does NOT fence device work through the axon
+   tunnel — a 50-matmul chain "finished" in microseconds.  Only a
+   device→host read is a true sync.
+2. Every synced call pays a ~24 ms fixed RPC round trip, which made
+   single-op numbers garbage (the round-1 "XLA runs UNet GEMMs at
+   6.5 TF/s" finding was an artifact: at roofline it's 131 TF/s-eff).
+   Cure: time a fori_loop chain at TWO iteration counts and divide the
+   difference — the fixed cost cancels exactly.
+
+Usage: python benchmarks/profile_unet.py [--trace] [--steps 500]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import jax.profiler  # noqa: F401  (used under --trace)
+
+
+def _sync(o):
+    np.asarray(jax.device_get(o.ravel()[:1]))
+
+
+def time_two_point(make_chain, n_lo=10, n_hi=30, repeats=4):
+    """Per-iteration device time with the fixed RPC cost cancelled."""
+    lo, hi = make_chain(n_lo), make_chain(n_hi)
+    _sync(lo())
+    _sync(hi())
+    best_lo = best_hi = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(lo())
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(hi())
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (n_hi - n_lo)
+
+
+def build_unet(ccfg=None):
+    from sfast_tpu.models.unet_2d_condition import (
+        SD15_UNET,
+        create_unet,
+        init_unet_params,
+    )
+
+    host = init_unet_params(0, SD15_UNET)
+    shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
+    )
+    del host
+    params = jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+    )()
+    model = create_unet(SD15_UNET, params=params)
+    if ccfg is None:
+        return model, None
+    return model, model.apply_fn(ccfg)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true", help="dump jax profiler trace")
+    ap.add_argument("--trace-dir", default="/tmp/jaxtrace")
+    ap.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        help="override a CompilationConfig field, e.g. enable_fused_conv=0",
+    )
+    args = ap.parse_args()
+
+    from sfast_tpu.config import CompilationConfig
+
+    ccfg = CompilationConfig.Default()
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        cur = getattr(ccfg, k)
+        ccfg = ccfg.replace(
+            **{k: type(cur)(int(v) if isinstance(cur, bool) else v)}
+        )
+        print(f"ccfg.{k} = {getattr(ccfg, k)}")
+
+    unet, fn = build_unet(ccfg)
+    params = unet.params
+    x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    t = jnp.array([500.0, 500.0], jnp.float32)
+    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
+
+    def make_chain(n):
+        @jax.jit
+        def run():
+            def body(i, y):
+                out = fn(params, y, t, ctx)
+                return y + 1e-6 * out.astype(y.dtype)
+
+            return jax.lax.fori_loop(0, n, body, x)
+
+        return run
+
+    per = time_two_point(make_chain)
+    print(f"UNet CFG eval: {per*1e3:.2f} ms/eval (two-point fit, RPC-corrected)")
+
+    if args.trace:
+        chain = make_chain(10)
+        _sync(chain())
+        with jax.profiler.trace(args.trace_dir):
+            _sync(chain())
+        print(f"trace written to {args.trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,15 @@ class CompilationConfig:
     # kernels remain opt-in.
     enable_fused_group_norm: bool = False
     enable_fused_linear_geglu: bool = False
+    # Pallas fused GN+SiLU→conv3×3 for the resnet blocks (one kernel: 9
+    # flat-offset MXU matmuls from VMEM, bf16 single-write output;
+    # ops/conv_pallas.py).  Wins ISOLATED benchmarks at the big spatial
+    # levels (302 vs 336 µs for the level-0 GN+conv pair) but loses at
+    # model level on v5e (22.6 vs 19.1 ms/eval, 2026-08): XLA's
+    # stats-fused-into-producer GroupNorm beats any separate stats pass.
+    # Opt-in, same documented-negative-result status as the GN/GEGLU
+    # kernels above.
+    enable_fused_conv: bool = False
     prefer_lowp_gemm: bool = dataclasses.field(default_factory=_default_lowp)
     enable_flash_attention: bool = True
     # int8-compute attention (SageAttention-style quantization in the

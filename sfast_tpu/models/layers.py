@@ -240,6 +240,27 @@ def init_resnet_block(
     return p
 
 
+# Minimum spatial extent (H*W) for routing a resnet GN+SiLU→conv3×3 pair
+# through the fused Pallas kernel.  Measured on v5e (2026-08): the kernel
+# wins at the large-spatial levels where XLA's in-context conv lowering
+# materializes halo'd copies and f32 dual outputs; at tiny spatial sizes
+# per-kernel-instance overhead dominates and XLA wins.
+FUSED_CONV_MIN_HW = 1024
+
+
+def _fused_conv_ok(conv_p: Params, x: jax.Array, backend: Optional[str]) -> bool:
+    if backend == "xla":
+        return False
+    if "w" not in conv_p or conv_p["w"].shape[:2] != (3, 3):
+        return False  # quantized or non-3×3
+    if x.dtype != jnp.bfloat16:
+        return False
+    if backend == "pallas":
+        return True
+    on_tpu = jax.default_backend() == "tpu"
+    return on_tpu and x.shape[1] * x.shape[2] >= FUSED_CONV_MIN_HW
+
+
 def resnet_block_fwd(
     p: Params,
     x: jax.Array,
@@ -248,26 +269,38 @@ def resnet_block_fwd(
     groups: int = 32,
     eps: float = 1e-5,
     gn_backend: Optional[str] = None,
+    conv_backend: Optional[str] = None,
     output_scale: float = 1.0,
 ) -> jax.Array:
     """diffusers ResnetBlock2D: GN+SiLU → conv → (+temb) → GN+SiLU → conv
-    → +skip.  The GN+SiLU pairs are the fused Pallas kernel."""
-    h = group_norm(
-        x, p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, eps=eps,
-        act="silu", backend=gn_backend,
-    )
-    h = apply_conv(p["conv1"], h, padding=1)
+    → +skip.  On TPU the GN+SiLU→conv pairs route through the fused
+    Pallas conv kernel (``ops/conv_pallas.py``) above the spatial
+    threshold; otherwise GN+SiLU (optionally the fused Pallas GN) and the
+    XLA conv run separately."""
+    from sfast_tpu.ops.conv_pallas import conv3x3_gn_silu, gn_affine
+
+    def gn_conv(conv_p, norm_p, y):
+        if _fused_conv_ok(conv_p, y, conv_backend):
+            sc, sh = gn_affine(
+                y, norm_p["scale"], norm_p["bias"], groups=groups, eps=eps
+            )
+            return conv3x3_gn_silu(
+                y, conv_p["w"], conv_p.get("b"), gn_scale=sc, gn_shift=sh
+            )
+        h = group_norm(
+            y, norm_p["scale"], norm_p["bias"], groups=groups, eps=eps,
+            act="silu", backend=gn_backend,
+        )
+        return apply_conv(conv_p, h, padding=1)
+
+    h = gn_conv(p["conv1"], p["norm1"], x)
     if temb is not None and "time_emb_proj" in p:
         te = apply_linear(
             p["time_emb_proj"],
             jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
         )
         h = h + te[:, None, None, :].astype(h.dtype)
-    h = group_norm(
-        h, p["norm2"]["scale"], p["norm2"]["bias"], groups=groups, eps=eps,
-        act="silu", backend=gn_backend,
-    )
-    h = apply_conv(p["conv2"], h, padding=1)
+    h = gn_conv(p["conv2"], p["norm2"], h)
     skip = x
     if "conv_shortcut" in p:
         skip = apply_conv(p["conv_shortcut"], x)

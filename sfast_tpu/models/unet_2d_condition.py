@@ -241,8 +241,9 @@ def init_unet_params(rng, cfg: UNetConfig):
 def _backends(ccfg: CompilationConfig):
     """Map config knobs → op backend selections (None = per-op auto)."""
     if not ccfg.enable_pallas:
-        return dict(gn="xla", attn="xla", geglu="xla")
-    gn = None if ccfg.enable_fused_group_norm else "xla"
+        return dict(gn="xla", attn="xla", geglu="xla", conv="xla")
+    gn = "pallas" if ccfg.enable_fused_group_norm else None
+    conv = None if getattr(ccfg, "enable_fused_conv", True) else "xla"
     mesh = getattr(ccfg, "mesh", None)
     if (
         mesh is not None
@@ -260,7 +261,7 @@ def _backends(ccfg: CompilationConfig):
     else:
         attn = None
     geglu = None if ccfg.enable_fused_linear_geglu else "xla"
-    return dict(gn=gn, attn=attn, geglu=geglu)
+    return dict(gn=gn, attn=attn, geglu=geglu, conv=conv)
 
 
 def unet_fwd(
@@ -332,7 +333,10 @@ def unet_fwd(
     for i, blk in enumerate(params["down_blocks"]):
         has_attn = "attentions" in blk
         for j, rn in enumerate(blk["resnets"]):
-            h = L.resnet_block_fwd(rn, h, emb, groups=groups, gn_backend=be["gn"])
+            h = L.resnet_block_fwd(
+                rn, h, emb, groups=groups, gn_backend=be["gn"],
+                conv_backend=be["conv"],
+            )
             if has_attn:
                 h = L.spatial_transformer_fwd(
                     blk["attentions"][j], h, context,
@@ -351,11 +355,17 @@ def unet_fwd(
 
     # 4. mid
     mid = params["mid_block"]
-    h = L.resnet_block_fwd(mid["resnets"][0], h, emb, groups=groups, gn_backend=be["gn"])
+    h = L.resnet_block_fwd(
+        mid["resnets"][0], h, emb, groups=groups, gn_backend=be["gn"],
+        conv_backend=be["conv"],
+    )
     h = L.spatial_transformer_fwd(
         mid["attentions"][0], h, context, heads=cfg.num_heads[-1], **attn_kw
     )
-    h = L.resnet_block_fwd(mid["resnets"][1], h, emb, groups=groups, gn_backend=be["gn"])
+    h = L.resnet_block_fwd(
+        mid["resnets"][1], h, emb, groups=groups, gn_backend=be["gn"],
+        conv_backend=be["conv"],
+    )
 
     if mid_block_additional_residual is not None:
         h = (
@@ -370,7 +380,10 @@ def unet_fwd(
         for j, rn in enumerate(blk["resnets"]):
             res = res_stack.pop()
             h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
-            h = L.resnet_block_fwd(rn, h, emb, groups=groups, gn_backend=be["gn"])
+            h = L.resnet_block_fwd(
+                rn, h, emb, groups=groups, gn_backend=be["gn"],
+                conv_backend=be["conv"],
+            )
             if has_attn:
                 h = L.spatial_transformer_fwd(
                     blk["attentions"][j], h, context,

@@ -72,7 +72,13 @@ def dot_product_attention(
     ``'flash_int8'`` forces the int8 kernel unconditionally.
     """
     if backend is None or backend == "int8":
-        use_flash = q.shape[-2] >= _FLASH_MIN_Q
+        # Flash pays only when BOTH sequence sides are long: with short
+        # kv (cross-attention kv=77) the score matrix is tiny and the
+        # flash grid is pure per-instance overhead — measured 153 µs vs
+        # ~40 µs XLA for the SD level-0 cross-attention (v5e, 2026-08).
+        use_flash = (
+            q.shape[-2] >= _FLASH_MIN_Q and k.shape[-2] >= _FLASH_MIN_Q
+        )
         flash_kind = "flash_int8" if backend == "int8" else "flash"
         backend = flash_kind if use_flash else "xla"
     if backend == "flash":

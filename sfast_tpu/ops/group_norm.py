@@ -100,6 +100,82 @@ def _norm_apply_kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, o_ref, *,
     o_ref[0] = _apply_act(y, act).astype(o_ref.dtype)
 
 
+def group_norm_stats(
+    x: jax.Array,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    block_hw_cap: int = 1024,
+    interpret: bool = False,
+):
+    """Per-channel (mean, rstd) of GroupNorm over NHWC x — Pallas stats
+    kernel only.
+
+    Why this exists standalone: XLA's stats reduce (f32 convert + reduce
+    over a 10-wide channels-per-group minor axis) measures ~10x above the
+    bandwidth roofline in the UNet (1.67 ms/eval for ~127 MB of reads,
+    profiled 2026-08).  This kernel reads x once at full lane width and
+    does the group reduction on the MXU with a 0/1 matrix.  The
+    *normalize/affine/activation* is left to XLA so it keeps fusing into
+    the consumer (conv input, attention projections) — the round-1
+    full-Pallas GN lost end-to-end precisely because it broke that
+    fusion.
+
+    Returns (mean, rstd), each (N, 1, 1, C) f32.
+    """
+    n, h, w, c = x.shape
+    hw = h * w
+    xf = x.reshape(n, hw, c)
+    block_hw = _largest_divisor_leq(hw, block_hw_cap)
+    grid = (n, hw // block_hw)
+
+    stats = functools.partial(_stats_kernel, groups=groups, eps=eps, hw=hw)
+    mean, rstd = pl.pallas_call(
+        stats,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_hw, c), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf)
+    return mean.reshape(n, 1, 1, c), rstd.reshape(n, 1, 1, c)
+
+
+def group_norm_hybrid(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas stats + XLA normalize/affine/act (see group_norm_stats)."""
+    n, h, w, c = x.shape
+    mean, rstd = group_norm_stats(
+        x, groups=groups, eps=eps, interpret=interpret
+    )
+    scale = rstd * gamma.reshape(1, 1, 1, c).astype(jnp.float32)
+    shift = beta.reshape(1, 1, 1, c).astype(jnp.float32) - mean * scale
+    y = x.astype(jnp.float32) * scale + shift
+    return _apply_act(y, act).astype(x.dtype)
+
+
 def group_norm_pallas(
     x: jax.Array,
     gamma: jax.Array,
@@ -211,10 +287,18 @@ def group_norm(
             f"channels ({c}) must be divisible by groups ({groups})"
         )
     if backend is None:
-        on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if on_tpu else "xla"
+        # auto = XLA everywhere: measured end-to-end on v5e (2026-08),
+        # the separate Pallas stats pass (hybrid: 26.4 ms/eval) and the
+        # two-kernel Pallas GN both lose to XLA's stats-fused-into-
+        # producer graph (19.1 ms/eval baseline).  'pallas'/'hybrid'
+        # remain opt-in backends.
+        backend = "xla"
     if backend == "pallas":
         return group_norm_pallas(
+            x, gamma, beta, groups=groups, eps=eps, act=act, interpret=interpret
+        )
+    if backend == "hybrid":
+        return group_norm_hybrid(
             x, gamma, beta, groups=groups, eps=eps, act=act, interpret=interpret
         )
     return group_norm_xla(x, gamma, beta, groups=groups, eps=eps, act=act)

@@ -144,3 +144,17 @@ def test_int8_backend_dispatch():
     short = A.dot_product_attention(q, q, q, backend="int8", interpret=True)
     ref = A.xla_attention(q, q, q)
     np.testing.assert_allclose(np.asarray(short), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_auto_dispatch_short_kv_routes_xla():
+    """Cross-attention (long q, kv=77) must route to XLA: the flash grid
+    is pure overhead there (153 vs ~40 us at SD level-0, v5e 2026-08) —
+    and on CPU the non-interpret Pallas kernel would fail outright, so
+    this also guards the dispatch rule itself."""
+    key = jax.random.key(7)
+    q = jax.random.normal(key, (1, 2, 4096, 8), jnp.float32)
+    k = jax.random.normal(jax.random.key(8), (1, 2, 77, 8), jnp.float32)
+    v = jax.random.normal(jax.random.key(9), (1, 2, 77, 8), jnp.float32)
+    out = dot_product_attention(q, k, v)  # auto backend
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)

@@ -92,3 +92,18 @@ def test_auto_backend_on_cpu_is_xla():
     x = jnp.ones((1, 4, 4, 32))
     out = group_norm(x, jnp.ones((32,)), jnp.zeros((32,)), groups=8)
     np.testing.assert_allclose(np.asarray(out), np.zeros((1, 4, 4, 32)), atol=1e-5)
+
+
+def test_group_norm_hybrid_matches_xla():
+    """Pallas-stats + XLA-apply hybrid == the plain XLA path."""
+    from sfast_tpu.ops.group_norm import group_norm_hybrid, group_norm_xla
+
+    key = jax.random.key(4)
+    x = jax.random.normal(key, (2, 8, 8, 96), jnp.float32)
+    gamma = jax.random.normal(jax.random.key(5), (96,)) + 1
+    beta = jax.random.normal(jax.random.key(6), (96,))
+    got = group_norm_hybrid(
+        x, gamma, beta, groups=16, act="silu", interpret=True
+    )
+    ref = group_norm_xla(x, gamma, beta, groups=16, act="silu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

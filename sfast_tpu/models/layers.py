@@ -240,12 +240,14 @@ def init_resnet_block(
     return p
 
 
-# Minimum spatial extent (H*W) for routing a resnet GN+SiLU→conv3×3 pair
-# through the fused Pallas kernel.  Measured on v5e (2026-08): the kernel
-# wins at the large-spatial levels where XLA's in-context conv lowering
-# materializes halo'd copies and f32 dual outputs; at tiny spatial sizes
-# per-kernel-instance overhead dominates and XLA wins.
-FUSED_CONV_MIN_HW = 1024
+# Minimum spatial extent (H*W) for routing a 3×3 conv through the fused
+# Pallas kernel when the backend is auto.  Measured on v5e (2026-08):
+# inside the UNet (H*W <= 4096) XLA's stats-fused GN+conv graph wins
+# (19.1 vs 22.0 ms/eval), but at VAE-decoder sizes XLA's conv lowering
+# collapses (27 TF/s on the 512²-spatial upsample convs, ~4.8x below
+# roofline) while this kernel runs 93-175 TF/s.  16384 = 128² puts the
+# cutover between the two regimes.
+FUSED_CONV_MIN_HW = 16384
 
 
 def _fused_conv_ok(conv_p: Params, x: jax.Array, backend: Optional[str]) -> bool:
@@ -545,9 +547,19 @@ def init_upsample(rng, c: int, *, dtype=jnp.bfloat16) -> Params:
     return {"conv": init_conv(rng, 3, 3, c, c, dtype=dtype)}
 
 
-def upsample_fwd(p: Params, x: jax.Array) -> jax.Array:
+def upsample_fwd(
+    p: Params, x: jax.Array, *, conv_backend: Optional[str] = None
+) -> jax.Array:
     b, h, w, c = x.shape
     # nearest-neighbor 2x without gather: broadcast + reshape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     x = x.reshape(b, h * 2, w * 2, c)
+    # The post-upsample convs are where XLA's conv lowering is at its
+    # worst (27 TF/s at the VAE's 512²×256 shape, measured 2026-08); the
+    # Pallas kernel's pad materialization also absorbs the NN-upsample
+    # broadcast for free.
+    if _fused_conv_ok(p["conv"], x, conv_backend):
+        from sfast_tpu.ops.conv_pallas import conv3x3_gn_silu
+
+        return conv3x3_gn_silu(x, p["conv"]["w"], p["conv"].get("b"))
     return apply_conv(p["conv"], x, padding=1)

@@ -216,6 +216,97 @@ class StableDiffusionPipeline:
 
         return LazyCompiledFunction(loop, name=f"denoise_loop_{num_steps}")
 
+    def _build_fused_pipeline(self, num_steps: int):
+        """ONE executable for the whole text2img call: prompt encode →
+        latent init → N-step denoise loop → VAE decode → uint8 image.
+
+        Why: each dispatch is a host round trip (over a tunneled TPU,
+        ~5-25 ms each; the reference pays the same shape of cost as
+        per-launch CUDA overhead and solves it with CUDA graphs,
+        SURVEY.md §3.3).  The stepwise path costs ~15 dispatches per
+        image; this path costs one dispatch + one device→host read —
+        measured ~200 ms off the SD1.5 512² e2e (2026-08)."""
+        te_model = (
+            self.text_encoder.model
+            if isinstance(self.text_encoder, CompiledModel)
+            else self.text_encoder
+        )
+        vae_model = (
+            self.vae.model if isinstance(self.vae, CompiledModel) else self.vae
+        )
+        te_apply = te_model.apply_fn(self._ccfg)
+        vae_apply = vae_model.apply_fn(self._ccfg)
+        unet_apply = self.unet_model.apply_fn(self._ccfg)
+        scheduler = self.scheduler
+        needs_noise = getattr(scheduler, "needs_noise", False)
+        penult = self.clip_skip_mode == "penultimate"
+        vae_cfg = self.vae_config
+        dtype = self.dtype
+
+        def encode(te_params, ids):
+            out = te_apply(te_params, ids, output_hidden_states=penult)
+            return (
+                out["hidden_states"][-2] if penult else out["last_hidden_state"]
+            )
+
+        def run(
+            unet_params,
+            te_params,
+            vae_params,
+            prompt_ids,
+            neg_ids,
+            state,
+            guidance_scale,
+            key,
+            *,
+            lat_shape,
+        ):
+            context = jnp.concatenate(
+                [encode(te_params, neg_ids), encode(te_params, prompt_ids)],
+                axis=0,
+            )
+            key, sub = jax.random.split(key)
+            latents = jax.random.normal(sub, lat_shape, jnp.float32)
+            init_sigma = (
+                state["init_noise_sigma"]
+                if "init_noise_sigma" in state
+                else getattr(scheduler, "init_noise_sigma", 1.0)
+            )
+            latents = (latents * init_sigma).astype(dtype)
+            if hasattr(scheduler, "prepare_state"):
+                state_ = scheduler.prepare_state(state, latents)
+            else:
+                state_ = state
+
+            def body(i, carry):
+                lat, st, key = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = scheduler.scale_model_input(st, lat_in, i)
+                t = st["timesteps"][i]
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                eps = unet_apply(unet_params, lat_in, tt, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    lat, st = scheduler.step(st, eps, i, lat, noise=noise)
+                else:
+                    lat, st = scheduler.step(st, eps, i, lat)
+                return (lat, st, key)
+
+            lat, _, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, state_, key)
+            )
+            image = vae_apply(vae_params, lat / vae_cfg.scaling_factor)
+            return denormalize_to_uint8(image)
+
+        return LazyCompiledFunction(
+            run,
+            name=f"sd_pipeline_{num_steps}",
+            static_argnames=("lat_shape",),
+        )
+
     # -- main entry --------------------------------------------------------
     def __call__(
         self,
@@ -240,6 +331,7 @@ class StableDiffusionPipeline:
     ) -> PipelineOutput:
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
+        user_latents = latents  # pre-init value gates the fused-pipeline path
         real_b = prompt_ids.shape[0]
         if self._ccfg.batch_buckets:
             # pad the prompt batch up to its bucket so executable count
@@ -259,7 +351,23 @@ class StableDiffusionPipeline:
         sf = self.vae_scale_factor
         lh, lw = height // sf, width // sf
 
-        context = self.encode_prompt(prompt_ids, negative_prompt_ids)
+        # the single-dispatch fused-pipeline path encodes the prompt
+        # inside its own executable; decide it early so the stepwise
+        # prompt-encode dispatches are skipped entirely on that path
+        use_full_early = (
+            self._ccfg.fuse_denoising_loop
+            and callback_on_step_end is None
+            and image is None
+            and user_latents is None
+            and control_image is None
+            and ip_adapter_embeds is None
+            and output_type in ("np", "pil")
+        )
+        context = (
+            None
+            if use_full_early
+            else self.encode_prompt(prompt_ids, negative_prompt_ids)
+        )
 
         state = self.scheduler.set_timesteps(num_inference_steps)
         start_index = 0
@@ -289,13 +397,13 @@ class StableDiffusionPipeline:
             else:
                 latents = add_noise(state, z.astype(jnp.float32), noise, start_index)
             latents = latents.astype(self.dtype)
-        elif latents is None:
+        elif latents is None and not use_full_early:
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, (b, lh, lw, lat_c), jnp.float32)
             init_sigma = state["init_noise_sigma"] if "init_noise_sigma" in state else getattr(self.scheduler, "init_noise_sigma", 1.0)
             latents = (latents * init_sigma).astype(self.dtype)
 
-        if hasattr(self.scheduler, "prepare_state"):
+        if hasattr(self.scheduler, "prepare_state") and not use_full_early:
             state = self.scheduler.prepare_state(state, latents)
 
         ctrl = None
@@ -314,6 +422,49 @@ class StableDiffusionPipeline:
             and ctrl is None
             and ip_adapter_embeds is None
         )
+        use_full = (
+            use_fused
+            and image is None
+            and user_latents is None
+            and output_type in ("np", "pil")
+        )
+        if use_full:
+            # single-dispatch whole-pipeline executable (prompt encode →
+            # loop → VAE → uint8); each separate dispatch is a host round
+            # trip, ~15 of which cost ~200 ms e2e on a tunneled TPU
+            fp = self._fused_loops.get(("full", num_inference_steps))
+            if fp is None:
+                fp = self._build_fused_pipeline(num_inference_steps)
+                self._fused_loops[("full", num_inference_steps)] = fp
+            if negative_prompt_ids is None:
+                negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
+            unet_params = (
+                self.unet.params
+                if isinstance(self.unet, CompiledModel)
+                else self.unet_model.params
+            )
+            te = self.text_encoder
+            te_params = te.params if isinstance(te, CompiledModel) else te.params
+            vae_params = (
+                self.vae.params
+                if isinstance(self.vae, CompiledModel)
+                else self.vae.params
+            )
+            key, sub = jax.random.split(key)
+            image_out = fp(
+                unet_params,
+                te_params,
+                vae_params,
+                prompt_ids,
+                negative_prompt_ids,
+                state,
+                gs,
+                sub,
+                lat_shape=(b, lh, lw, lat_c),
+            )[:real_b]
+            if output_type == "pil":
+                return PipelineOutput(to_pil(image_out))
+            return PipelineOutput(np.asarray(image_out))
         if use_fused:
             fused = self._fused_loops.get(num_inference_steps)
             if fused is None:

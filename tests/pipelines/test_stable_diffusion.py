@@ -205,3 +205,33 @@ def test_int8_attention_pipeline_quality(monkeypatch):
     rel = np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean())
     assert rel < 0.05, rel  # latent-space RMS within 5% after 3 steps
     assert err.max() > 0  # and the int8 path actually ran (not identical)
+
+
+def test_fused_pipeline_single_dispatch():
+    """fuse_denoising_loop + np output takes the whole-pipeline
+    executable (prompt encode → loop → VAE → uint8 in ONE dispatch):
+    deterministic per seed, seed-sensitive, and LoRA hot-swap (params are
+    arguments, not constants) must change the output without growing the
+    signature cache."""
+    pipe = _tiny_pipe(DPMSolverMultistepScheduler())
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=3)
+
+    a = pipe(seed=7, **kw).images
+    b = pipe(seed=7, **kw).images
+    c = pipe(seed=8, **kw).images
+    assert a.shape == (1, 64, 64, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+    fp = pipe._fused_loops[("full", 3)]
+    n_sigs = fp.cache_size
+    assert n_sigs == 1
+    new_params = jax.tree_util.tree_map(
+        lambda t: t * 1.05, pipe.unet.params
+    )
+    pipe.unet.update_params(new_params)
+    d = pipe(seed=7, **kw).images
+    assert not np.array_equal(a, d)
+    assert fp.cache_size == n_sigs

@@ -35,22 +35,23 @@ REPEATS = 3
 
 
 def _zeros_on_device(init_fn):
-    """Placeholder weights created ON device in one executable.
+    """Placeholder weights: PACKED zeros created ON device.
 
     TPU latency is weight-value independent (no denormal/data-dependent
-    execution), and shipping 2+ GB of random host weights through the
-    tunnel costs minutes; real checkpoints load through
-    sfast_tpu.interop converters."""
-    host = init_fn()
-    shapes = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
-    )
-    del host
-    return jax.jit(
-        lambda: jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes
-        )
-    )()
+    execution), so zero weights time identically to real checkpoints.
+    Two warm-start lessons baked in (measured 2026-08):
+    - generating real random host values costs ~135 s of host CPU per
+      model → shape_only_init returns stride-0 placeholders instantly;
+    - one device buffer PER LEAF costs ~0.33 s each to materialize over
+      the tunnel (~230 s for a 700-leaf UNet) → packed_zeros_like makes
+      ONE flat buffer per dtype; models unpack via in-executable static
+      slices (runtime/packed_params.py)."""
+    from sfast_tpu.models.layers import shape_only_init
+    from sfast_tpu.runtime.packed_params import packed_zeros_like
+
+    with shape_only_init():
+        host = init_fn()
+    return packed_zeros_like(host)
 
 
 def build_pipeline():

@@ -21,6 +21,7 @@ Every ``init_*`` returns the same pytree structure the matching
 converters in ``sfast_tpu.interop``.
 """
 
+import contextlib
 import math
 from typing import Any, Dict, Optional
 
@@ -81,10 +82,34 @@ def _fast_cast(arr: "_np.ndarray", dtype) -> "_np.ndarray":
     return arr.astype(np_dtype)
 
 
+_SHAPE_ONLY = False
+
+
+@contextlib.contextmanager
+def shape_only_init():
+    """Make ``init_*`` return stride-0 zero placeholders instantly.
+
+    Generating real random values for an SD1.5 UNet's 860M params costs
+    ~135 s of host CPU (measured 2026-08) — pure waste when only the
+    tree STRUCTURE is needed (shape probing, zero-weight benchmarks,
+    ``packed_zeros_like``).  Placeholder leaves broadcast a single zero
+    and must not be written to or transferred as-is.
+    """
+    global _SHAPE_ONLY
+    prev = _SHAPE_ONLY
+    _SHAPE_ONLY = True
+    try:
+        yield
+    finally:
+        _SHAPE_ONLY = prev
+
+
 def _randn(rng, shape, dtype, scale: float):
     """Host numpy array — stays on host until the model-level bulk
     device_put (one transfer for the whole tree instead of one per leaf,
     which matters enormously over a tunneled TPU)."""
+    if _SHAPE_ONLY:
+        return _np.broadcast_to(_np.zeros((), _np_dtype(dtype)), shape)
     gen = as_host_rng(rng)
     arr = gen.standard_normal(shape, dtype=_np.float32) * scale
     return _fast_cast(arr, dtype)

@@ -70,6 +70,12 @@ class Model:
         from_torch_layout = ccfg.memory_format == "NCHW"
 
         def apply(params, *args, **kwargs):
+            from sfast_tpu.runtime.packed_params import maybe_unpack
+
+            # packed params (few-buffer weight residency) unpack here,
+            # inside the traced function: static slices fuse into the
+            # consuming ops, and the client only tracks ~3 buffers
+            params = maybe_unpack(params)
             if from_torch_layout:
                 args, kwargs = _transpose_tree(
                     (args, kwargs), (0, 2, 3, 1), (0, 2, 3, 4, 1)

@@ -82,8 +82,14 @@ def dot_product_attention(
         flash_kind = "flash_int8" if backend == "int8" else "flash"
         backend = flash_kind if use_flash else "xla"
     if backend == "flash":
+        # bf16 inputs take the bf16-softmax kernel variant: the big
+        # (block_q, block_k) exp runs at packed-VPU rate (measured -2%
+        # per call on the SD level-0 shape, 0.2% rms; the row-sum still
+        # accumulates f32)
+        sm = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         return flash_attention(
-            q, k, v, scale=scale, causal=causal, interpret=interpret
+            q, k, v, scale=scale, causal=causal, interpret=interpret,
+            softmax_dtype=sm,
         )
     if backend == "flash_int8":
         return flash_attention_int8(

@@ -26,6 +26,7 @@ import numpy as np
 from sfast_tpu.config import CompilationConfig
 from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
 from sfast_tpu.models.module import Model
+from sfast_tpu.runtime.packed_params import maybe_unpack
 from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.schedulers.common import add_noise
 from sfast_tpu.utils.image import (
@@ -192,6 +193,8 @@ class StableDiffusionPipeline:
         needs_noise = getattr(scheduler, "needs_noise", False)
 
         def loop(params, latents, context, state, guidance_scale, key):
+            params = maybe_unpack(params)  # hoist out of the loop body
+
             def body(i, carry):
                 lat, st, key = carry
                 lat_in = jnp.concatenate([lat, lat], axis=0)
@@ -216,7 +219,7 @@ class StableDiffusionPipeline:
 
         return LazyCompiledFunction(loop, name=f"denoise_loop_{num_steps}")
 
-    def _build_fused_pipeline(self, num_steps: int):
+    def _build_fused_pipeline(self, num_steps: int, synth_uncond: bool):
         """ONE executable for the whole text2img call: prompt encode →
         latent init → N-step denoise loop → VAE decode → uint8 image.
 
@@ -249,6 +252,11 @@ class StableDiffusionPipeline:
                 out["hidden_states"][-2] if penult else out["last_hidden_state"]
             )
 
+        te = self.text_encoder
+        tcfg = te.model.config if isinstance(te, CompiledModel) else te.config
+        eos = getattr(tcfg, "eos_token_id", 49407)
+        pad_id = getattr(tcfg, "pad_token_id", eos)
+
         def run(
             unet_params,
             te_params,
@@ -257,14 +265,27 @@ class StableDiffusionPipeline:
             neg_ids,
             state,
             guidance_scale,
-            key,
+            seed_arr,
             *,
             lat_shape,
         ):
+            if synth_uncond:
+                # [BOS, EOS, pad...] built on device, inside this same
+                # executable (3 fewer host dispatches per call)
+                neg = jnp.full_like(prompt_ids, pad_id)
+                neg = neg.at[:, 0].set(prompt_ids[:, 0])
+                neg = neg.at[:, 1].set(eos)
+            else:
+                neg = neg_ids
             context = jnp.concatenate(
-                [encode(te_params, neg_ids), encode(te_params, prompt_ids)],
+                [encode(te_params, neg), encode(te_params, prompt_ids)],
                 axis=0,
             )
+            # unpack packed params ONCE, before the loop: left inside the
+            # body, XLA re-carves (and re-tiles) all ~1.7 GB of weights
+            # every step (+280 ms/image, measured 2026-08)
+            unet_params_u = maybe_unpack(unet_params)
+            key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, lat_shape, jnp.float32)
             init_sigma = (
@@ -284,7 +305,7 @@ class StableDiffusionPipeline:
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                eps = unet_apply(unet_params, lat_in, tt, context)
+                eps = unet_apply(unet_params_u, lat_in, tt, context)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
@@ -345,12 +366,13 @@ class StableDiffusionPipeline:
                     negative_prompt_ids, self._ccfg.batch_buckets
                 )
         b = prompt_ids.shape[0]
-        key = jax.random.key(seed)
         vae_cfg = self.vae_config
         lat_c = vae_cfg.latent_channels
         sf = self.vae_scale_factor
         lh, lw = height // sf, width // sf
 
+        key = None  # created lazily; the fused-pipeline path derives its
+        # rng from the seed scalar inside the executable
         # the single-dispatch fused-pipeline path encodes the prompt
         # inside its own executable; decide it early so the stepwise
         # prompt-encode dispatches are skipped entirely on that path
@@ -368,6 +390,9 @@ class StableDiffusionPipeline:
             if use_full_early
             else self.encode_prompt(prompt_ids, negative_prompt_ids)
         )
+
+        if not use_full_early:
+            key = jax.random.key(seed)
 
         state = self.scheduler.set_timesteps(num_inference_steps)
         start_index = 0
@@ -432,12 +457,17 @@ class StableDiffusionPipeline:
             # single-dispatch whole-pipeline executable (prompt encode →
             # loop → VAE → uint8); each separate dispatch is a host round
             # trip, ~15 of which cost ~200 ms e2e on a tunneled TPU
-            fp = self._fused_loops.get(("full", num_inference_steps))
+            synth = negative_prompt_ids is None and self.tokenizer is None
+            fp = self._fused_loops.get(("full", num_inference_steps, synth))
             if fp is None:
-                fp = self._build_fused_pipeline(num_inference_steps)
-                self._fused_loops[("full", num_inference_steps)] = fp
+                fp = self._build_fused_pipeline(num_inference_steps, synth)
+                self._fused_loops[("full", num_inference_steps, synth)] = fp
             if negative_prompt_ids is None:
-                negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
+                negative_prompt_ids = (
+                    prompt_ids  # placeholder; synthesized in-executable
+                    if synth
+                    else self._empty_prompt_ids(prompt_ids)
+                )
             unet_params = (
                 self.unet.params
                 if isinstance(self.unet, CompiledModel)
@@ -450,7 +480,6 @@ class StableDiffusionPipeline:
                 if isinstance(self.vae, CompiledModel)
                 else self.vae.params
             )
-            key, sub = jax.random.split(key)
             image_out = fp(
                 unet_params,
                 te_params,
@@ -459,7 +488,7 @@ class StableDiffusionPipeline:
                 negative_prompt_ids,
                 state,
                 gs,
-                sub,
+                np.asarray([seed], np.uint32),
                 lat_shape=(b, lh, lw, lat_c),
             )[:real_b]
             if output_type == "pil":

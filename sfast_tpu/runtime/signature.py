@@ -38,6 +38,11 @@ def _is_array(x) -> bool:
 
 def arg_signature(arg: Any, shape_sensitive: bool = True) -> Tuple:
     """Recursively build a hashable signature tuple for an argument tree."""
+    sig_fn = getattr(arg, "__sfast_signature__", None)
+    if sig_fn is not None:
+        # objects carrying their own (memoized) signature, e.g.
+        # runtime.packed_params.PackedParams
+        return sig_fn(shape_sensitive)
     if _is_array(arg):
         if shape_sensitive:
             # 0-d host scalars (numpy) hash by value: they are baked into

@@ -300,34 +300,73 @@ def resnet_block_fwd(
     output_scale: float = 1.0,
 ) -> jax.Array:
     """diffusers ResnetBlock2D: GN+SiLU → conv → (+temb) → GN+SiLU → conv
-    → +skip.  On TPU the GN+SiLU→conv pairs route through the fused
-    Pallas conv kernel (``ops/conv_pallas.py``) above the spatial
-    threshold; otherwise GN+SiLU (optionally the fused Pallas GN) and the
+    → +skip.  On TPU above the spatial threshold the whole block runs as
+    TWO fused Pallas conv launches (``ops/conv_pallas.py``): conv1 folds
+    the temb projection into a per-batch bias and emits its output's
+    GroupNorm statistics in-kernel, conv2 consumes them and fuses the
+    skip add + output scale — zero separate normalize/stats/elementwise
+    passes.  Otherwise GN+SiLU (optionally the fused Pallas GN) and the
     XLA conv run separately."""
-    from sfast_tpu.ops.conv_pallas import conv3x3_gn_silu, gn_affine
-
-    def gn_conv(conv_p, norm_p, y):
-        if _fused_conv_ok(conv_p, y, conv_backend):
-            sc, sh = gn_affine(
-                y, norm_p["scale"], norm_p["bias"], groups=groups, eps=eps
-            )
-            return conv3x3_gn_silu(
-                y, conv_p["w"], conv_p.get("b"), gn_scale=sc, gn_shift=sh
-            )
-        h = group_norm(
-            y, norm_p["scale"], norm_p["bias"], groups=groups, eps=eps,
-            act="silu", backend=gn_backend,
+    fused = _fused_conv_ok(p["conv1"], x, conv_backend) and _fused_conv_ok(
+        p["conv2"], x, conv_backend
+    )
+    if fused:
+        from sfast_tpu.ops.conv_pallas import (
+            affine_from_stats,
+            conv3x3_block,
+            gn_affine,
         )
-        return apply_conv(conv_p, h, padding=1)
 
-    h = gn_conv(p["conv1"], p["norm1"], x)
+        n, hh, ww, _ = x.shape
+        sc1, sh1 = gn_affine(
+            x, p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, eps=eps
+        )
+        b1 = p["conv1"].get("b")
+        fch = p["conv1"]["w"].shape[-1]
+        bias_b = (
+            jnp.zeros((fch,), jnp.float32) if b1 is None else b1
+        ).astype(jnp.float32)[None, :]
+        if temb is not None and "time_emb_proj" in p:
+            te = apply_linear(
+                p["time_emb_proj"],
+                jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
+            )
+            bias_b = bias_b + te.astype(jnp.float32)
+        else:
+            bias_b = jnp.broadcast_to(bias_b, (n, fch))
+        h, s1, s2 = conv3x3_block(
+            x, p["conv1"]["w"], bias_batch=bias_b,
+            gn_scale=sc1, gn_shift=sh1, emit_stats=True,
+        )
+        sc2, sh2 = affine_from_stats(
+            s1, s2, hh * ww, p["norm2"]["scale"], p["norm2"]["bias"],
+            groups=groups, eps=eps,
+        )
+        skip = x
+        if "conv_shortcut" in p:
+            skip = apply_conv(p["conv_shortcut"], x)
+        return conv3x3_block(
+            h, p["conv2"]["w"], p["conv2"].get("b"),
+            gn_scale=sc2, gn_shift=sh2, residual=skip,
+            output_scale=output_scale,
+        )
+
+    h = group_norm(
+        x, p["norm1"]["scale"], p["norm1"]["bias"], groups=groups, eps=eps,
+        act="silu", backend=gn_backend,
+    )
+    h = apply_conv(p["conv1"], h, padding=1)
     if temb is not None and "time_emb_proj" in p:
         te = apply_linear(
             p["time_emb_proj"],
             jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
         )
         h = h + te[:, None, None, :].astype(h.dtype)
-    h = gn_conv(p["conv2"], p["norm2"], h)
+    h = group_norm(
+        h, p["norm2"]["scale"], p["norm2"]["bias"], groups=groups, eps=eps,
+        act="silu", backend=gn_backend,
+    )
+    h = apply_conv(p["conv2"], h, padding=1)
     skip = x
     if "conv_shortcut" in p:
         skip = apply_conv(p["conv_shortcut"], x)

@@ -491,6 +491,12 @@ class StableDiffusionPipeline:
                 np.asarray([seed], np.uint32),
                 lat_shape=(b, lh, lw, lat_c),
             )[:real_b]
+            try:
+                # pre-register the D2H fetch while the device still
+                # computes — overlaps the transfer-setup round trip
+                image_out.copy_to_host_async()
+            except Exception:
+                pass
             if output_type == "pil":
                 return PipelineOutput(to_pil(image_out))
             return PipelineOutput(np.asarray(image_out))

@@ -90,18 +90,63 @@ def test_resnet_block_fused_conv_path():
     ref = L.resnet_block_fwd(p, x, temb, groups=8, conv_backend="xla")
     import sfast_tpu.ops.conv_pallas as cp
 
-    orig_conv, orig_aff = cp.conv3x3_gn_silu, cp.gn_affine
+    orig_blk, orig_aff = cp.conv3x3_block, cp.gn_affine
     try:
-        cp.conv3x3_gn_silu = lambda *a, **kw: orig_conv(
+        cp.conv3x3_block = lambda *a, **kw: orig_blk(
             *a, **{**kw, "interpret": True}
         )
         cp.gn_affine = lambda *a, **kw: orig_aff(*a, **{**kw, "interpret": True})
         got = L.resnet_block_fwd(p, x, temb, groups=8, conv_backend="pallas")
     finally:
-        cp.conv3x3_gn_silu, cp.gn_affine = orig_conv, orig_aff
+        cp.conv3x3_block, cp.gn_affine = orig_blk, orig_aff
     np.testing.assert_allclose(
         np.asarray(got, np.float32),
         np.asarray(ref, np.float32),
         rtol=0,
         atol=6e-2 * float(jnp.max(jnp.abs(np.asarray(ref, np.float32)))),
     )
+
+
+def test_conv3x3_block_stats_residual_scale():
+    """The full fused-resnet kernel: per-batch bias, residual add,
+    output_scale, and the emitted per-channel stats must equal numpy
+    sums of the actual output."""
+    from sfast_tpu.ops.conv_pallas import affine_from_stats, conv3x3_block
+
+    rng = np.random.default_rng(4)
+    n, h, w_, c, f = 2, 10, 12, 64, 96
+    x = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.05, jnp.float32)
+    bias_b = jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((n, h, w_, f)), jnp.float32)
+
+    y, s1, s2 = conv3x3_block(
+        x, wgt, bias_batch=bias_b, residual=res, output_scale=2.0,
+        emit_stats=True, interpret=True,
+    )
+    ref = (
+        conv2d(x, wgt, None, padding=1).astype(np.float32)
+        + np.asarray(bias_b)[:, None, None, :]
+        + np.asarray(res)
+    ) / 2.0
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        rtol=0, atol=3e-2 * float(np.abs(np.asarray(ref)).max()),
+    )
+    yf = np.asarray(y, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(s1), yf.sum(axis=(1, 2)), rtol=2e-3, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2), (yf * yf).sum(axis=(1, 2)), rtol=2e-3, atol=2e-2
+    )
+
+    # affine_from_stats(s1, s2) must match gn_affine computed on y
+    from sfast_tpu.ops.conv_pallas import gn_affine
+
+    gamma = jnp.asarray(rng.standard_normal((f,)) + 1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+    sc_a, sh_a = affine_from_stats(s1, s2, h * w_, gamma, beta, groups=16)
+    sc_b, sh_b = gn_affine(y, gamma, beta, groups=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sh_a), np.asarray(sh_b), rtol=5e-3, atol=5e-2)

@@ -22,15 +22,7 @@ import sfast_tpu
 from sfast_tpu.config import CompilationConfig
 
 
-def zeros_on_device(init_fn):
-    host = init_fn()
-    shapes = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
-    )
-    del host
-    return jax.jit(
-        lambda: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    )()
+from benchmarks.common import zeros_on_device  # noqa: E402
 
 
 def bench_lcm(steps=4, size=512, repeats=3):
@@ -95,7 +87,9 @@ def bench_sdxl(steps=30, size=1024, repeats=3):
         ),
         scheduler=EulerDiscreteScheduler(),
     )
-    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True)
+    )
     ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
     kw = dict(prompt_ids=ids, height=size, width=size, num_inference_steps=steps)
     t0 = time.time()
@@ -144,7 +138,9 @@ def bench_controlnet(steps=30, size=512, repeats=3):
         ),
         scheduler=DPMSolverMultistepScheduler(),
     )
-    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True)
+    )
     ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
     control = np.zeros((1, size, size, 3), np.uint8)
     kw = dict(prompt_ids=ids, height=size, width=size, num_inference_steps=steps,

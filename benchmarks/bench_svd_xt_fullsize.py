@@ -30,15 +30,7 @@ STEPS = int(os.environ.get("SVD_STEPS", "3"))
 CHUNK = int(os.environ.get("SVD_CHUNK", "5"))
 
 
-def zeros_on_device(init_fn):
-    host = init_fn()
-    shapes = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
-    )
-    del host
-    return jax.jit(
-        lambda: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    )()
+from benchmarks.common import zeros_on_device  # noqa: E402
 
 
 def main():

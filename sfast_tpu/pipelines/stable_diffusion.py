@@ -186,14 +186,44 @@ class StableDiffusionPipeline:
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
-    def _build_fused_loop(self, num_steps: int):
-        """One executable for the entire denoise loop (lax.fori_loop)."""
+    def _build_fused_loop(
+        self,
+        num_steps: int,
+        *,
+        with_control: bool = False,
+        with_ip: bool = False,
+    ):
+        """One executable for the entire denoise loop (lax.fori_loop).
+
+        ControlNet and IP-Adapter branches compile INTO the loop (their
+        conditioning tensors are loop-invariant) — without this the
+        ControlNet config pays ~8 dispatch round trips per step
+        (measured: 22.3 → see STATUS for the fused number)."""
         unet_apply = self.unet_model.apply_fn(self._ccfg)
+        cn_apply = None
+        if with_control:
+            cn = self.controlnet
+            cn_model = cn.model if isinstance(cn, CompiledModel) else cn
+            cn_apply = cn_model.apply_fn(self._ccfg)
         scheduler = self.scheduler
         needs_noise = getattr(scheduler, "needs_noise", False)
 
-        def loop(params, latents, context, state, guidance_scale, key):
+        def loop(
+            params,
+            cn_params,
+            latents,
+            context,
+            state,
+            guidance_scale,
+            key,
+            ctrl,
+            cn_scale,
+            ip_embeds,
+            ip_scale,
+        ):
             params = maybe_unpack(params)  # hoist out of the loop body
+            if with_control:
+                cn_params_u = maybe_unpack(cn_params)
 
             def body(i, carry):
                 lat, st, key = carry
@@ -201,7 +231,20 @@ class StableDiffusionPipeline:
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                eps = unet_apply(params, lat_in, tt, context)
+                kwargs = {}
+                if with_ip:
+                    kwargs["ip_adapter_embeds"] = ip_embeds
+                    kwargs["ip_adapter_scale"] = ip_scale
+                if with_control:
+                    down_res, mid_res = cn_apply(
+                        cn_params_u, lat_in, tt, context, ctrl,
+                        conditioning_scale=cn_scale,
+                    )
+                    kwargs.update(
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res,
+                    )
+                eps = unet_apply(params, lat_in, tt, context, **kwargs)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
@@ -217,7 +260,12 @@ class StableDiffusionPipeline:
             )
             return lat
 
-        return LazyCompiledFunction(loop, name=f"denoise_loop_{num_steps}")
+        return LazyCompiledFunction(
+            loop,
+            name=f"denoise_loop_{num_steps}"
+            + ("_cn" if with_control else "")
+            + ("_ip" if with_ip else ""),
+        )
 
     def _build_fused_pipeline(self, num_steps: int, synth_uncond: bool):
         """ONE executable for the whole text2img call: prompt encode →
@@ -444,13 +492,13 @@ class StableDiffusionPipeline:
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
             and start_index == 0
-            and ctrl is None
-            and ip_adapter_embeds is None
         )
         use_full = (
             use_fused
             and image is None
             and user_latents is None
+            and ctrl is None
+            and ip_adapter_embeds is None
             and output_type in ("np", "pil")
         )
         if use_full:
@@ -501,17 +549,34 @@ class StableDiffusionPipeline:
                 return PipelineOutput(to_pil(image_out))
             return PipelineOutput(np.asarray(image_out))
         if use_fused:
-            fused = self._fused_loops.get(num_inference_steps)
+            with_control = ctrl is not None
+            with_ip = ip_adapter_embeds is not None
+            lkey = (num_inference_steps, with_control, with_ip)
+            fused = self._fused_loops.get(lkey)
             if fused is None:
-                fused = self._build_fused_loop(num_inference_steps)
-                self._fused_loops[num_inference_steps] = fused
+                fused = self._build_fused_loop(
+                    num_inference_steps,
+                    with_control=with_control,
+                    with_ip=with_ip,
+                )
+                self._fused_loops[lkey] = fused
             params = (
                 self.unet.params
                 if isinstance(self.unet, CompiledModel)
                 else self.unet_model.params
             )
+            cn_params = None
+            if with_control:
+                cn = self.controlnet
+                cn_params = (
+                    cn.params if isinstance(cn, CompiledModel) else cn.params
+                )
             key, sub = jax.random.split(key)
-            latents = fused(params, latents, context, state, gs, sub)
+            latents = fused(
+                params, cn_params, latents, context, state, gs, sub,
+                ctrl, ctrl_scale,
+                ip_adapter_embeds, jnp.float32(ip_adapter_scale),
+            )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
             for i in range(start_index, num_inference_steps):

@@ -235,3 +235,29 @@ def test_fused_pipeline_single_dispatch():
     d = pipe(seed=7, **kw).images
     assert not np.array_equal(a, d)
     assert fp.cache_size == n_sigs
+
+
+def test_fused_loop_with_controlnet_matches_stepwise():
+    """The ControlNet branch compiles INTO the fused loop; latents must
+    match the stepwise path exactly (same rng layout on both)."""
+    from sfast_tpu.models.controlnet import ControlNetConfig, create_controlnet
+
+    pipe = _tiny_pipe(DPMSolverMultistepScheduler())
+    ccfg_c = ControlNetConfig(
+        unet=TINY_UNET32, conditioning_embedding_out_channels=(16, 32)
+    )
+    pipe.controlnet = create_controlnet(ccfg_c, jax.random.key(9))
+    ids = jnp.ones((1, 77), jnp.int32)
+    ctrl = np.zeros((1, 64, 64, 3), np.uint8)
+    kw = dict(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=3,
+        control_image=ctrl, output_type="latent", seed=4,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    stepwise = pipe(**kw).images
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = pipe(**kw).images
+    assert (3, True, False) in pipe._fused_loops
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
+    )

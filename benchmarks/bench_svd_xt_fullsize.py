@@ -60,18 +60,28 @@ def main():
         f"SVD {FRAMES}f @{H}x{W}: {STEPS} steps + decode in {dt:.1f}s "
         f"(incl. compile on first call)", flush=True,
     )
-    t0 = time.time()
-    out = pipe(
-        img, num_frames=FRAMES, height=H, width=W,
-        num_inference_steps=STEPS, decode_chunk_size=CHUNK, seed=1,
-    )
-    dt = time.time() - t0
-    per_step = dt / STEPS
-    est_25 = per_step * 25
+    def timed(steps, seed):
+        t0 = time.time()
+        out = pipe(
+            img, num_frames=FRAMES, height=H, width=W,
+            num_inference_steps=steps, decode_chunk_size=CHUNK, seed=seed,
+        )
+        return time.time() - t0, out
+
+    t_lo, out = timed(STEPS, 1)
+    # second step count separates per-step UNet cost from the fixed
+    # decode/encode/transfer cost (two-point fit; the naive dt/STEPS
+    # estimate wrongly amortizes the ~7 s decode into every step)
+    pipe(img, num_frames=FRAMES, height=H, width=W,
+         num_inference_steps=2 * STEPS, decode_chunk_size=CHUNK, seed=0)
+    t_hi, _ = timed(2 * STEPS, 2)
+    per_step = (t_hi - t_lo) / STEPS
+    fixed = t_lo - STEPS * per_step
+    est_25 = 25 * per_step + fixed
     print(
-        f"steady: {dt:.1f}s for {STEPS} steps + decode "
-        f"({per_step:.2f} s/step-with-decode-amortized; "
-        f"25-step clip ≈ {est_25:.0f}s)  shape={out.images.shape}"
+        f"steady: {t_lo:.1f}s @{STEPS} steps, {t_hi:.1f}s @{2*STEPS} — "
+        f"{per_step:.2f} s/step + {fixed:.1f}s decode/fixed; "
+        f"25-step clip ≈ {est_25:.0f}s  shape={out.images.shape}"
     )
 
 

@@ -49,24 +49,21 @@ def time_two_point(make_chain, n_lo=10, n_hi=30, repeats=4):
     return (best_hi - best_lo) / (n_hi - n_lo)
 
 
-def build_unet(ccfg=None):
+def build_unet(ccfg=None, model_name="sd15"):
     from sfast_tpu.models.unet_2d_condition import (
         SD15_UNET,
+        SDXL_UNET,
         create_unet,
         init_unet_params,
     )
+    from sfast_tpu.models.layers import shape_only_init
+    from sfast_tpu.runtime.packed_params import packed_zeros_like
 
-    host = init_unet_params(0, SD15_UNET)
-    shapes = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host
-    )
-    del host
-    params = jax.jit(
-        lambda: jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes
-        )
-    )()
-    model = create_unet(SD15_UNET, params=params)
+    cfg = {"sd15": SD15_UNET, "sdxl": SDXL_UNET}[model_name]
+    with shape_only_init():
+        host = init_unet_params(0, cfg)
+    params = packed_zeros_like(host)
+    model = create_unet(cfg, params=params)
     if ccfg is None:
         return model, None
     return model, model.apply_fn(ccfg)
@@ -83,6 +80,7 @@ def main():
         metavar="FIELD=VALUE",
         help="override a CompilationConfig field, e.g. enable_fused_conv=0",
     )
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
     args = ap.parse_args()
 
     from sfast_tpu.config import CompilationConfig
@@ -96,17 +94,27 @@ def main():
         )
         print(f"ccfg.{k} = {getattr(ccfg, k)}")
 
-    unet, fn = build_unet(ccfg)
+    unet, fn = build_unet(ccfg, args.model)
     params = unet.params
-    x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    if args.model == "sdxl":
+        x = jnp.zeros((2, 128, 128, 4), jnp.bfloat16)
+        ctx = jnp.zeros((2, 77, 2048), jnp.bfloat16)
+        added = {
+            "text_embeds": jnp.zeros((2, 1280), jnp.bfloat16),
+            "time_ids": jnp.zeros((2, 6), jnp.float32),
+        }
+        kwargs = {"added_cond_kwargs": added}
+    else:
+        x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+        ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
+        kwargs = {}
     t = jnp.array([500.0, 500.0], jnp.float32)
-    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
 
     def make_chain(n):
         @jax.jit
         def run():
             def body(i, y):
-                out = fn(params, y, t, ctx)
+                out = fn(params, y, t, ctx, **kwargs)
                 return y + 1e-6 * out.astype(y.dtype)
 
             return jax.lax.fori_loop(0, n, body, x)
@@ -114,7 +122,7 @@ def main():
         return run
 
     per = time_two_point(make_chain)
-    print(f"UNet CFG eval: {per*1e3:.2f} ms/eval (two-point fit, RPC-corrected)")
+    print(f"UNet CFG eval [{args.model}]: {per*1e3:.2f} ms/eval (two-point fit, RPC-corrected)")
 
     if args.trace:
         chain = make_chain(10)

@@ -265,14 +265,18 @@ def init_resnet_block(
     return p
 
 
-# Minimum spatial extent (H*W) for routing a 3×3 conv through the fused
-# Pallas kernel when the backend is auto.  Measured on v5e (2026-08):
-# inside the UNet (H*W <= 4096) XLA's stats-fused GN+conv graph wins
-# (19.1 vs 22.0 ms/eval), but at VAE-decoder sizes XLA's conv lowering
-# collapses (27 TF/s on the 512²-spatial upsample convs, ~4.8x below
-# roofline) while this kernel runs 93-175 TF/s.  16384 = 128² puts the
-# cutover between the two regimes.
-FUSED_CONV_MIN_HW = 16384
+# Auto-rule cutover for routing a 3×3 conv through the fused Pallas
+# kernel.  Measured on v5e (2026-08): XLA's conv lowering collapses as
+# spatial×channel grows — 27-30 TF/s on the VAE's 512² convs AND on
+# SDXL's 64²×640 resnets (~4x below roofline) — while inside the SD1.5
+# UNet (64²×320 and smaller-spatial levels) XLA's stats-fused graph
+# beats the kernel (18.3 vs 19.2+ ms/eval, three strategies tried).
+# The regimes split on H·W and H·W·C together, not H·W alone.
+# (A wider rule — 64²+ at >=640 channels, targeting SDXL's L1 where
+# XLA's conv items trace at ~30 TF/s — was measured 2026-08-17 and
+# LOSES in-context too: 133.7 vs 130.4 ms/eval.  The in-graph rule
+# stays H·W >= 128² only.)
+FUSED_CONV_MIN_HW = 16384            # 128²+: kernel (VAE, SDXL level 0)
 
 
 def _fused_conv_ok(conv_p: Params, x: jax.Array, backend: Optional[str]) -> bool:

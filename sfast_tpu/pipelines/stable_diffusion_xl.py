@@ -16,6 +16,8 @@ import numpy as np
 
 from sfast_tpu.models.module import Model
 from sfast_tpu.pipelines.stable_diffusion import PipelineOutput, StableDiffusionPipeline
+from sfast_tpu.runtime.packed_params import maybe_unpack
+from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.utils.image import denormalize_to_uint8, to_pil
 
 
@@ -48,6 +50,47 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         )
         pooled = out2["text_embeds"]
         return h, pooled
+
+    def _build_fused_loop_xl(self, num_steps: int):
+        """SDXL denoise loop as ONE executable (micro-conditioning
+        tensors are loop-invariant) — same dispatch-amortization story
+        as the base pipeline's fused loop."""
+        unet_apply = self.unet_model.apply_fn(self._ccfg)
+        scheduler = self.scheduler
+        needs_noise = getattr(scheduler, "needs_noise", False)
+
+        def loop(
+            params, latents, context, state, guidance_scale, key,
+            text_embeds, time_ids,
+        ):
+            params = maybe_unpack(params)  # hoist out of the loop body
+            added = {"text_embeds": text_embeds, "time_ids": time_ids}
+
+            def body(i, carry):
+                lat, st, key = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = scheduler.scale_model_input(st, lat_in, i)
+                t = st["timesteps"][i]
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                eps = unet_apply(
+                    params, lat_in, tt, context, added_cond_kwargs=added
+                )
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    lat, st = scheduler.step(st, eps, i, lat, noise=noise)
+                else:
+                    lat, st = scheduler.step(st, eps, i, lat)
+                return (lat, st, key)
+
+            lat, _, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, state, key)
+            )
+            return lat
+
+        return LazyCompiledFunction(loop, name=f"denoise_loop_xl_{num_steps}")
 
     def __call__(
         self,
@@ -117,17 +160,41 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             state = self.scheduler.prepare_state(state, latents)
 
         gs = jnp.float32(guidance_scale)
-        for i in range(num_inference_steps):
-            t = state["timesteps"][i]
-            lat_in = jnp.concatenate([latents, latents], axis=0)
-            lat_in = self.scheduler.scale_model_input(state, lat_in, i)
-            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-            eps = self.unet(lat_in, tt, context, added_cond_kwargs=added)
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps = eps_u + gs * (eps_c - eps_u)
-            latents, state = self.scheduler.step(state, eps, i, latents)
-            if callback_on_step_end is not None:
-                callback_on_step_end(self, i, t, {"latents": latents})
+        use_fused = (
+            self._ccfg.fuse_denoising_loop and callback_on_step_end is None
+        )
+        if use_fused:
+            lkey = ("xl", num_inference_steps)
+            fused = self._fused_loops.get(lkey)
+            if fused is None:
+                fused = self._build_fused_loop_xl(num_inference_steps)
+                self._fused_loops[lkey] = fused
+            from sfast_tpu.compilers.diffusion_pipeline_compiler import (
+                CompiledModel,
+            )
+
+            params = (
+                self.unet.params
+                if isinstance(self.unet, CompiledModel)
+                else self.unet_model.params
+            )
+            key, sub = jax.random.split(key)
+            latents = fused(
+                params, latents, context, state, gs, sub,
+                added["text_embeds"], added["time_ids"],
+            )
+        else:
+            for i in range(num_inference_steps):
+                t = state["timesteps"][i]
+                lat_in = jnp.concatenate([latents, latents], axis=0)
+                lat_in = self.scheduler.scale_model_input(state, lat_in, i)
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                eps = self.unet(lat_in, tt, context, added_cond_kwargs=added)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + gs * (eps_c - eps_u)
+                latents, state = self.scheduler.step(state, eps, i, latents)
+                if callback_on_step_end is not None:
+                    callback_on_step_end(self, i, t, {"latents": latents})
 
         if output_type == "latent":
             return PipelineOutput(latents)

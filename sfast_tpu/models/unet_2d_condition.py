@@ -243,7 +243,9 @@ def _backends(ccfg: CompilationConfig):
     if not ccfg.enable_pallas:
         return dict(gn="xla", attn="xla", geglu="xla", conv="xla")
     gn = "pallas" if ccfg.enable_fused_group_norm else None
-    conv = None if getattr(ccfg, "enable_fused_conv", True) else "xla"
+    # fallback False: the dataclass default is opt-in (config.py), so a
+    # duck-typed config missing the attr must not silently enable it
+    conv = None if getattr(ccfg, "enable_fused_conv", False) else "xla"
     mesh = getattr(ccfg, "mesh", None)
     if (
         mesh is not None

@@ -521,13 +521,8 @@ class StableDiffusionPipeline:
                 if isinstance(self.unet, CompiledModel)
                 else self.unet_model.params
             )
-            te = self.text_encoder
-            te_params = te.params if isinstance(te, CompiledModel) else te.params
-            vae_params = (
-                self.vae.params
-                if isinstance(self.vae, CompiledModel)
-                else self.vae.params
-            )
+            te_params = self.text_encoder.params
+            vae_params = self.vae.params
             image_out = fp(
                 unet_params,
                 te_params,

@@ -111,15 +111,18 @@ def main():
     t = jnp.array([500.0, 500.0], jnp.float32)
 
     def make_chain(n):
+        # params passed as an ARGUMENT, not closed over: closure capture
+        # hoists the full weight tree into the lowering as constants
+        # (5.1 GB for SDXL) and stalls compilation through the tunnel
         @jax.jit
-        def run():
+        def run(p):
             def body(i, y):
-                out = fn(params, y, t, ctx, **kwargs)
+                out = fn(p, y, t, ctx, **kwargs)
                 return y + 1e-6 * out.astype(y.dtype)
 
             return jax.lax.fori_loop(0, n, body, x)
 
-        return run
+        return lambda: run(params)
 
     per = time_two_point(make_chain)
     print(f"UNet CFG eval [{args.model}]: {per*1e3:.2f} ms/eval (two-point fit, RPC-corrected)")

@@ -101,9 +101,23 @@ class StableDiffusionPipeline:
     # -- prompts ----------------------------------------------------------
     def tokenize(self, prompt: Union[str, List[str]]) -> jnp.ndarray:
         if self.tokenizer is None:
+            # auto-discover the vendored CLIP BPE tokenizer (vocab files
+            # from SFAST_TPU_CLIP_VOCAB / sfast_tpu/text/data — see
+            # text/clip_tokenizer.py) so `pipe("a prompt")` works out of
+            # the box, matching the reference UX
+            from sfast_tpu.text.clip_tokenizer import (
+                CLIPTokenizer,
+                find_vocab_files,
+            )
+
+            if find_vocab_files(None) is not None:
+                self.tokenizer = CLIPTokenizer.from_pretrained(None)
+        if self.tokenizer is None:
             raise ValueError(
-                "no tokenizer attached; pass prompt_ids (pre-tokenized) "
-                "or construct the pipeline with tokenizer="
+                "no tokenizer attached and no CLIP vocab files found; "
+                "pass prompt_ids (pre-tokenized), construct the pipeline "
+                "with tokenizer=, or provide vocab.json+merges.txt via "
+                "SFAST_TPU_CLIP_VOCAB / sfast_tpu/text/data/"
             )
         if isinstance(prompt, str):
             prompt = [prompt]

@@ -1,0 +1,201 @@
+"""CLIP BPE tokenizer exactness tests.
+
+The learned 49k vocabulary cannot be vendored in this zero-egress build,
+so algorithmic exactness is proven instead: a small BPE vocabulary is
+*trained* here with the classic merge-count algorithm, written to disk in
+the standard HuggingFace ``vocab.json``/``merges.txt`` format, loaded by
+BOTH ``transformers.CLIPTokenizer`` and the vendored tokenizer, and the
+token ids are compared exactly over normalization-stressing prompts
+(≙ the reference relying on diffusers' CLIPTokenizer end-to-end,
+``examples/optimize_stable_diffusion_pipeline.py:211-219``).
+"""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sfast_tpu.text.clip_tokenizer import (
+    CLIPTokenizer,
+    _bytes_to_unicode,
+    find_vocab_files,
+)
+
+PROMPTS = [
+    "a photo of an astronaut riding a horse on mars",
+    "A PHOTO, with CAPS and punctuation!!! (and parens)",
+    "it's a test of contractions, isn't it? we'll see",
+    "numbers 1234 and 5 67",
+    "  extra   whitespace\tand\nnewlines  ",
+    "unicode: café, naïve, ünïcödé, 日本語, 🚀",
+    "",
+    "hyphen-ated and under_scored tokens",
+    "the the the the repeated words",
+]
+
+
+def _train_bpe(corpus, n_merges):
+    """Classic BPE training on word-end-marked byte-unicode words."""
+    b2u = _bytes_to_unicode()
+    words = {}
+    for text in corpus:
+        for w in text.lower().split():
+            sym = [b2u[b] for b in w.encode("utf-8")]
+            sym[-1] = sym[-1] + "</w>"
+            t = tuple(sym)
+            words[t] = words.get(t, 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] = pairs.get((w[i], w[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], p))
+        merges.append(best)
+        new_words = {}
+        for w, c in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    out.append(w[i] + w[i + 1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clip_vocab")
+    merges = _train_bpe(PROMPTS + ["a photo of a cat", "the quick brown fox"], 64)
+    chars = list(_bytes_to_unicode().values())
+    vocab_list = chars + [c + "</w>" for c in chars]
+    vocab_list += ["".join(m) for m in merges]
+    vocab_list += ["<|startoftext|>", "<|endoftext|>"]
+    with open(d / "vocab.json", "w", encoding="utf-8") as f:
+        json.dump({t: i for i, t in enumerate(vocab_list)}, f, ensure_ascii=False)
+    with open(d / "merges.txt", "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return str(d)
+
+
+def test_exact_match_vs_transformers(vocab_dir):
+    transformers = pytest.importorskip("transformers")
+    hf = transformers.CLIPTokenizer.from_pretrained(vocab_dir)
+    ours = CLIPTokenizer.from_files(
+        os.path.join(vocab_dir, "vocab.json"),
+        os.path.join(vocab_dir, "merges.txt"),
+    )
+    for p in PROMPTS:
+        hf_ids = hf(
+            p, padding="max_length", max_length=77, truncation=True
+        )["input_ids"]
+        our_ids = ours(p, padding="max_length", max_length=77)["input_ids"][0]
+        assert our_ids == hf_ids, f"mismatch for {p!r}"
+
+
+def test_call_interface_matches_pipeline_expectations(vocab_dir):
+    tok = CLIPTokenizer.from_pretrained(vocab_dir)
+    enc = tok(["a photo of a cat", ""], return_tensors="np")
+    ids = enc["input_ids"]
+    assert ids.shape == (2, 77)
+    assert ids.dtype == np.int32
+    # BOS first, EOS after content, pad==EOS to the end
+    assert ids[0, 0] == tok.bos_token_id
+    assert tok.eos_token_id in ids[0]
+    # empty prompt: [BOS, EOS, pad...] — the uncond-ids expectation
+    # (pipelines/stable_diffusion.py:119-134)
+    assert ids[1, 0] == tok.bos_token_id
+    assert ids[1, 1] == tok.eos_token_id
+    assert (ids[1, 2:] == tok.pad_token_id).all()
+
+
+def test_truncation(vocab_dir):
+    tok = CLIPTokenizer.from_pretrained(vocab_dir)
+    long_prompt = "word " * 500
+    ids = tok(long_prompt)["input_ids"][0]
+    assert len(ids) == 77
+    assert ids[-1] == tok.eos_token_id  # pad == eos; content truncated
+
+
+def test_decode_roundtrip(vocab_dir):
+    tok = CLIPTokenizer.from_pretrained(vocab_dir)
+    text = "a photo of an astronaut"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+
+
+def test_openai_gz_format(vocab_dir, tmp_path):
+    with open(os.path.join(vocab_dir, "merges.txt"), encoding="utf-8") as f:
+        lines = f.read().splitlines()[1:]
+    gz = tmp_path / "bpe_simple_vocab_16e6.txt.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("header line (ignored)\n")
+        f.write("\n".join(lines) + "\n")
+    ours_gz = CLIPTokenizer.from_files(str(gz), str(gz))
+    ours_json = CLIPTokenizer.from_files(
+        os.path.join(vocab_dir, "vocab.json"),
+        os.path.join(vocab_dir, "merges.txt"),
+    )
+    for p in PROMPTS:
+        assert ours_gz.encode(p) == ours_json.encode(p)
+
+
+def test_find_vocab_files(vocab_dir, tmp_path, monkeypatch):
+    # checkpoint-root layout: <ckpt>/tokenizer/{vocab.json,merges.txt}
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "tokenizer").mkdir(parents=True)
+    for name in ("vocab.json", "merges.txt"):
+        (ckpt / "tokenizer" / name).write_bytes(
+            open(os.path.join(vocab_dir, name), "rb").read()
+        )
+    v, m = find_vocab_files(str(ckpt))
+    assert v.endswith("vocab.json") and m.endswith("merges.txt")
+    # env-var discovery
+    monkeypatch.setenv("SFAST_TPU_CLIP_VOCAB", str(ckpt))
+    assert find_vocab_files(None) is not None
+
+
+def test_pipeline_accepts_native_tokenizer(vocab_dir):
+    """pipe('a prompt') works end-to-end with the vendored tokenizer on
+    the tiny CPU model — the reference UX."""
+    import dataclasses
+
+    jax = pytest.importorskip("jax")
+    from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.schedulers import EulerDiscreteScheduler
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.config import CompilationConfig
+    import sfast_tpu
+
+    tok = CLIPTokenizer.from_pretrained(vocab_dir)
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=EulerDiscreteScheduler(),
+        tokenizer=tok,
+        dtype=jax.numpy.float32,
+    )
+    pipe = sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(enable_pallas=False)
+    )
+    out = pipe(
+        "a photo of a cat", height=32, width=32, num_inference_steps=2
+    )
+    assert out.images.shape == (1, 32, 32, 3)

@@ -28,6 +28,13 @@ from sfast_tpu.ops.flash_attention import flash_attention, flash_attention_int8
 # ≥1024 → 1480 ms, ≥256 → 1514 ms — flash pays only at the longest
 # self-attention level.
 _FLASH_MIN_Q = 2048
+# ... except at head_dim ≤ 64 (SDXL/SVD class), where XLA's materialized
+# path is far off roofline while the flash VMEM-resident kernel is not
+# (isolated v5e shootout, benchmarks/bench_attention_shapes.py 2026-08:
+# (2,20,1024,1024,64) XLA 459 µs vs flash 162 µs; in-context the 60
+# XLA-attention fusions cost 29 ms of a 156 ms SDXL UNet eval).
+_FLASH_MIN_Q_SMALL_D = 1024
+_SMALL_D = 64
 
 
 def xla_attention(
@@ -76,9 +83,10 @@ def dot_product_attention(
         # kv (cross-attention kv=77) the score matrix is tiny and the
         # flash grid is pure per-instance overhead — measured 153 µs vs
         # ~40 µs XLA for the SD level-0 cross-attention (v5e, 2026-08).
-        use_flash = (
-            q.shape[-2] >= _FLASH_MIN_Q and k.shape[-2] >= _FLASH_MIN_Q
+        min_q = (
+            _FLASH_MIN_Q_SMALL_D if q.shape[-1] <= _SMALL_D else _FLASH_MIN_Q
         )
+        use_flash = q.shape[-2] >= min_q and k.shape[-2] >= min_q
         flash_kind = "flash_int8" if backend == "int8" else "flash"
         backend = flash_kind if use_flash else "xla"
     if backend == "flash":

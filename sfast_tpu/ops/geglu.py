@@ -136,17 +136,26 @@ def linear_geglu_xla(
 ) -> jax.Array:
     """Unfused fallback: one (K, 2F) GEMM + chunk + GELU·mul
     (what diffusers' GEGLU module computes, and the reference's fallback
-    shape — jit/passes/__init__.py:639-652 fuse_linear_geglu pattern)."""
+    shape — jit/passes/__init__.py:639-652 fuse_linear_geglu pattern).
+
+    For bf16 inputs the GEMM emits bf16 directly (the MXU still
+    accumulates f32 internally; only the epilogue rounds earlier):
+    with f32 output XLA materializes the full (M, 2F) f32 intermediate
+    before the chunk boundary — 84 MB per SDXL 1024-token FF, ~5 ms of
+    pure HBM traffic per UNet eval (trace `convolution_add_fusion.311`,
+    2026-08).  Matches fp16-diffusers numerics, which round there too.
+    """
+    acc_t = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     y = jax.lax.dot_general(
         x,
         w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(acc_t)
     h, g = jnp.split(y, 2, axis=-1)
-    return (h * _gelu(g, approx_gelu)).astype(x.dtype)
+    return (h * _gelu(g, approx_gelu).astype(acc_t)).astype(x.dtype)
 
 
 def linear_geglu(

@@ -193,7 +193,15 @@ def vae_encode_fwd(
         for rn in blk["resnets"]:
             h = L.resnet_block_fwd(rn, h, groups=groups, eps=1e-6, gn_backend=be)
         if "downsample" in blk:
-            h = L.downsample_fwd(blk["downsample"], h)
+            # diffusers' VAE encoder Downsample2D is built with padding=0
+            # and pads (0,1,0,1) asymmetrically before the stride-2 conv
+            # (unlike the UNet's symmetric padding=1) — same output size,
+            # different window alignment.
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = conv2d(
+                h, blk["downsample"]["conv"]["w"], blk["downsample"]["conv"]["b"],
+                stride=2,
+            )
     h = L.resnet_block_fwd(p["mid"]["resnet1"], h, groups=groups, eps=1e-6, gn_backend=be)
     h = _vae_attention_fwd(p["mid"]["attn"], h, groups=groups)
     h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, eps=1e-6, gn_backend=be)

@@ -387,8 +387,10 @@ def flash_attention(
     k = k.reshape(batch * heads, sk, d)
     v = v.reshape(batch * heads, sk, d)
 
-    # Pad head dim to a lane multiple; zero columns are inert.
-    dp = max(_round_up(d, LANES), LANES)
+    # Pad head dim to a lane multiple; zero columns are inert.  d ≤ 64
+    # (SDXL/SVD class) pads only to 64: Mosaic accepts a 64-wide minor
+    # dim, halving both MXU matmuls vs zero-padding to the 128 lane tile.
+    dp = max(_round_up(d, 64 if d <= 64 else LANES), 64)
     if dp != d:
         padd = [(0, 0), (0, 0), (0, dp - d)]
         q, k, v = (jnp.pad(t, padd) for t in (q, k, v))

@@ -86,6 +86,51 @@ class StableDiffusionPipeline:
         self._ccfg = ccfg
         self._fused_loops = {}
 
+    def warmup(
+        self,
+        resolutions=((512, 512),),
+        steps=(50,),
+        batch_sizes=(1,),
+        background: bool = False,
+    ):
+        """Pre-compile pipeline executables for a (H, W) × steps × batch
+        grid, priming the in-process cache AND the on-disk executable
+        cache (``runtime/exec_cache.py``) so later calls — including in
+        other processes — dispatch immediately.
+
+        Honest economics: on TPU every new (H, W) is a new XLA program
+        (tens of seconds of compile, once per code state), unlike the
+        reference's near-free per-shape CUDA-graph capture
+        (``cuda/graphs.py:225-241``).  This API moves that cost off the
+        serving path (``background=True`` compiles on a thread while the
+        caller serves pre-warmed shapes); it does not make it free.
+
+        Returns the Thread when ``background=True`` (join it to block),
+        else None after all combos are compiled.
+        """
+        import threading
+
+        def _run():
+            for b in batch_sizes:
+                ids = jnp.zeros((int(b), 77), jnp.int32)
+                for h, w in resolutions:
+                    for s in steps:
+                        self(
+                            prompt_ids=ids,
+                            height=int(h),
+                            width=int(w),
+                            num_inference_steps=int(s),
+                            seed=0,
+                            _warmup_only=True,
+                        )
+
+        if background:
+            t = threading.Thread(target=_run, daemon=True, name="sfast-warmup")
+            t.start()
+            return t
+        _run()
+        return None
+
     @property
     def vae_config(self):
         return self.vae.model.config if isinstance(self.vae, CompiledModel) else self.vae.config
@@ -411,6 +456,7 @@ class StableDiffusionPipeline:
         ip_adapter_scale: float = 1.0,
         output_type: str = "np",  # 'np' | 'pil' | 'latent'
         callback_on_step_end: Optional[Callable] = None,
+        _warmup_only: bool = False,  # compile-without-execute (see warmup())
     ) -> PipelineOutput:
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
@@ -537,7 +583,7 @@ class StableDiffusionPipeline:
             )
             te_params = self.text_encoder.params
             vae_params = self.vae.params
-            image_out = fp(
+            full_args = (
                 unet_params,
                 te_params,
                 vae_params,
@@ -546,8 +592,11 @@ class StableDiffusionPipeline:
                 state,
                 gs,
                 np.asarray([seed], np.uint32),
-                lat_shape=(b, lh, lw, lat_c),
-            )[:real_b]
+            )
+            if _warmup_only:
+                fp.warmup(*full_args, lat_shape=(b, lh, lw, lat_c))
+                return PipelineOutput(None)
+            image_out = fp(*full_args, lat_shape=(b, lh, lw, lat_c))[:real_b]
             try:
                 # pre-register the D2H fetch while the device still
                 # computes — overlaps the transfer-setup round trip

@@ -92,6 +92,114 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         return LazyCompiledFunction(loop, name=f"denoise_loop_xl_{num_steps}")
 
+    def _build_fused_pipeline_xl(self, num_steps: int, zero_uncond: bool):
+        """ONE executable for the whole SDXL text2img call: dual prompt
+        encode → latent init → N-step loop → VAE decode → uint8 — the
+        same single-dispatch amortization as the base pipeline's
+        ``_build_fused_pipeline`` (worth ~200 ms there), extended with
+        SDXL's dual encoders and micro-conditioning.
+
+        ``zero_uncond`` bakes diffusers' force_zeros_for_empty_prompt
+        default (uncond = zero embeddings, no second encode pass)."""
+        from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
+
+        def model_of(m):
+            return m.model if isinstance(m, CompiledModel) else m
+
+        te_apply = model_of(self.text_encoder).apply_fn(self._ccfg)
+        te2_apply = model_of(self.text_encoder_2).apply_fn(self._ccfg)
+        vae_apply = model_of(self.vae).apply_fn(self._ccfg)
+        unet_apply = self.unet_model.apply_fn(self._ccfg)
+        scheduler = self.scheduler
+        needs_noise = getattr(scheduler, "needs_noise", False)
+        vae_cfg = self.vae_config
+        dtype = self.dtype
+
+        def encode_pair(te_params, te2_params, ids, ids_2):
+            o1 = te_apply(te_params, ids, output_hidden_states=True)
+            o2 = te2_apply(te2_params, ids_2, output_hidden_states=True)
+            h = jnp.concatenate(
+                [o1["hidden_states"][-2], o2["hidden_states"][-2]], axis=-1
+            )
+            return h, o2["text_embeds"]
+
+        def run(
+            unet_params,
+            te_params,
+            te2_params,
+            vae_params,
+            prompt_ids,
+            prompt_ids_2,
+            neg_ids,
+            neg_ids_2,
+            state,
+            guidance_scale,
+            seed_arr,
+            time_ids,
+            *,
+            lat_shape,
+        ):
+            cond, pooled_c = encode_pair(
+                te_params, te2_params, prompt_ids, prompt_ids_2
+            )
+            if zero_uncond:
+                uncond = jnp.zeros_like(cond)
+                pooled_u = jnp.zeros_like(pooled_c)
+            else:
+                uncond, pooled_u = encode_pair(
+                    te_params, te2_params, neg_ids, neg_ids_2
+                )
+            context = jnp.concatenate([uncond, cond], axis=0)
+            added = {
+                "text_embeds": jnp.concatenate([pooled_u, pooled_c], axis=0),
+                "time_ids": time_ids,
+            }
+            unet_params_u = maybe_unpack(unet_params)  # hoist above the loop
+            key = jax.random.key(seed_arr[0])
+            key, sub = jax.random.split(key)
+            latents = jax.random.normal(sub, lat_shape, jnp.float32)
+            init_sigma = (
+                state["init_noise_sigma"]
+                if "init_noise_sigma" in state
+                else getattr(scheduler, "init_noise_sigma", 1.0)
+            )
+            latents = (latents * init_sigma).astype(dtype)
+            if hasattr(scheduler, "prepare_state"):
+                state_ = scheduler.prepare_state(state, latents)
+            else:
+                state_ = state
+
+            def body(i, carry):
+                lat, st, key = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = scheduler.scale_model_input(st, lat_in, i)
+                t = st["timesteps"][i]
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                eps = unet_apply(
+                    unet_params_u, lat_in, tt, context, added_cond_kwargs=added
+                )
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    lat, st = scheduler.step(st, eps, i, lat, noise=noise)
+                else:
+                    lat, st = scheduler.step(st, eps, i, lat)
+                return (lat, st, key)
+
+            lat, _, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, state_, key)
+            )
+            image = vae_apply(vae_params, lat / vae_cfg.scaling_factor)
+            return denormalize_to_uint8(image)
+
+        return LazyCompiledFunction(
+            run,
+            name=f"sdxl_pipeline_{num_steps}",
+            static_argnames=("lat_shape",),
+        )
+
     def __call__(
         self,
         prompt: Optional[Union[str, List[str]]] = None,
@@ -111,12 +219,33 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         target_size=None,
         output_type: str = "np",
         callback_on_step_end=None,
+        _warmup_only: bool = False,  # compile-without-execute (see warmup())
     ) -> PipelineOutput:
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
         if prompt_ids_2 is None:
             prompt_ids_2 = prompt_ids
         b = prompt_ids.shape[0]
+
+        use_full = (
+            self._ccfg.fuse_denoising_loop
+            and callback_on_step_end is None
+            and latents is None
+            and output_type in ("np", "pil")
+        )
+        if use_full:
+            return self._call_fused_full(
+                prompt_ids, prompt_ids_2,
+                negative_prompt_ids, negative_prompt_ids_2,
+                height=height, width=width,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, seed=seed,
+                original_size=original_size,
+                crops_coords_top_left=crops_coords_top_left,
+                target_size=target_size, output_type=output_type,
+                _warmup_only=_warmup_only,
+            )
+
         cond, pooled_c = self.encode_prompt_xl(prompt_ids, prompt_ids_2)
         if negative_prompt_ids is None and negative_prompt_ids_2 is None:
             # diffusers SDXL default (force_zeros_for_empty_prompt=True):
@@ -203,3 +332,83 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if output_type == "pil":
             return PipelineOutput(to_pil(image))
         return PipelineOutput(np.asarray(image))
+
+    def _call_fused_full(
+        self,
+        prompt_ids,
+        prompt_ids_2,
+        negative_prompt_ids,
+        negative_prompt_ids_2,
+        *,
+        height,
+        width,
+        num_inference_steps,
+        guidance_scale,
+        seed,
+        original_size,
+        crops_coords_top_left,
+        target_size,
+        output_type,
+        _warmup_only=False,
+    ) -> PipelineOutput:
+        """Single-dispatch SDXL text2img (see _build_fused_pipeline_xl)."""
+        from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
+
+        b = prompt_ids.shape[0]
+        zero_uncond = (
+            negative_prompt_ids is None and negative_prompt_ids_2 is None
+        )
+        if negative_prompt_ids is None:
+            negative_prompt_ids = prompt_ids  # placeholder when zero_uncond
+        if negative_prompt_ids_2 is None:
+            negative_prompt_ids_2 = negative_prompt_ids
+
+        original_size = original_size or (height, width)
+        target_size = target_size or (height, width)
+        time_ids = jnp.asarray(
+            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
+            jnp.float32,
+        )
+        time_ids = jnp.tile(time_ids, (2 * b, 1))
+
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        vae_cfg = self.vae_config
+        sf = self.vae_scale_factor
+        lat_shape = (b, height // sf, width // sf, vae_cfg.latent_channels)
+
+        fkey = ("xl_full", num_inference_steps, zero_uncond)
+        fp = self._fused_loops.get(fkey)
+        if fp is None:
+            fp = self._build_fused_pipeline_xl(num_inference_steps, zero_uncond)
+            self._fused_loops[fkey] = fp
+
+        unet_params = (
+            self.unet.params
+            if isinstance(self.unet, CompiledModel)
+            else self.unet_model.params
+        )
+        full_args = (
+            unet_params,
+            self.text_encoder.params,
+            self.text_encoder_2.params,
+            self.vae.params,
+            prompt_ids,
+            prompt_ids_2,
+            negative_prompt_ids,
+            negative_prompt_ids_2,
+            state,
+            jnp.float32(guidance_scale),
+            np.asarray([seed], np.uint32),
+            time_ids,
+        )
+        if _warmup_only:
+            fp.warmup(*full_args, lat_shape=lat_shape)
+            return PipelineOutput(None)
+        image_out = fp(*full_args, lat_shape=lat_shape)
+        try:
+            image_out.copy_to_host_async()
+        except Exception:
+            pass
+        if output_type == "pil":
+            return PipelineOutput(to_pil(image_out))
+        return PipelineOutput(np.asarray(image_out))

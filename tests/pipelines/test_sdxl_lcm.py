@@ -134,3 +134,28 @@ def test_sdxl_fused_loop_matches_stepwise():
     np.testing.assert_allclose(
         np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
     )
+
+
+def test_sdxl_fused_full_pipeline_matches_stepwise():
+    """The single-dispatch whole-pipeline SDXL executable (dual encode →
+    loop → VAE → uint8) must reproduce the stepwise uint8 image."""
+    pipe = _xl_pipe()
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(
+        prompt_ids=ids, height=64, width=64, num_inference_steps=3, seed=6
+    )
+    stepwise = np.asarray(pipe(**kw).images)
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = np.asarray(pipe(**kw).images)
+    assert ("xl_full", 3, True) in pipe._fused_loops
+    assert fused.dtype == np.uint8 and fused.shape == stepwise.shape
+    # uint8 quantization: allow off-by-one from fp reassociation
+    assert np.abs(fused.astype(int) - stepwise.astype(int)).max() <= 1
+
+    # explicit negative prompt takes the encoded-uncond variant
+    neg = jnp.full_like(ids, 2)
+    out = pipe(prompt_ids=ids, negative_prompt_ids=neg, height=64, width=64,
+               num_inference_steps=3, seed=6)
+    assert ("xl_full", 3, False) in pipe._fused_loops
+    assert np.abs(out.images.astype(int) - fused.astype(int)).max() > 1

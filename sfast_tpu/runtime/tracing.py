@@ -185,14 +185,27 @@ class LazyCompiledFunction:
             with self._lock:
                 exe = self._cache.get(key)
                 if exe is None:
-                    logger.info(
-                        "sfast_tpu: compiling %s for new input signature "
-                        "(cache size %d)",
-                        self._name,
-                        len(self._cache),
-                    )
-                    lowered = self._jitted.lower(*args, **kwargs)
-                    exe = lowered.compile()
+                    # second-process warm start: a previously serialized
+                    # executable skips trace + lowering + compile entirely
+                    from sfast_tpu.runtime import exec_cache
+
+                    exe = exec_cache.load_executable(self._name, key)
+                    if exe is None:
+                        logger.info(
+                            "sfast_tpu: compiling %s for new input signature "
+                            "(cache size %d)",
+                            self._name,
+                            len(self._cache),
+                        )
+                        lowered = self._jitted.lower(*args, **kwargs)
+                        exe = lowered.compile()
+                        # persist off-thread; first dispatch shouldn't wait
+                        # on serialization of a multi-GB-HLO executable
+                        threading.Thread(
+                            target=exec_cache.save_executable,
+                            args=(self._name, key, exe),
+                            daemon=True,
+                        ).start()
                     self._cache[key] = exe
         return exe
 

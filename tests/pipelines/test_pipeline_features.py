@@ -187,3 +187,27 @@ def test_instant_id_composition_controlnet_plus_ip_adapter():
     np.testing.assert_allclose(np.asarray(ip_off), np.asarray(only_cn), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cn_off), np.asarray(only_ip), atol=1e-4)
     assert np.abs(np.asarray(cn_off) - np.asarray(both)).max() > 0
+
+
+def test_warmup_precompiles_resolutions():
+    """warmup() compiles the fused-full executable per (H, W, steps)
+    combo WITHOUT executing; the later real call is a pure cache hit."""
+    pipe = _pipe(ccfg=CCFG.replace(fuse_denoising_loop=True))
+    out = pipe.warmup(resolutions=((32, 32), (64, 64)), steps=(2,))
+    assert out is None
+    fp = pipe._fused_loops[("full", 2, True)]
+    assert fp.cache_size == 2  # one executable per resolution
+    img = pipe(
+        prompt_ids=jnp.ones((1, 77), jnp.int32),
+        height=64, width=64, num_inference_steps=2, seed=0,
+    ).images
+    assert img.shape == (1, 64, 64, 3)
+    assert fp.cache_size == 2  # served from the warmed cache
+
+
+def test_warmup_background_thread():
+    pipe = _pipe(ccfg=CCFG.replace(fuse_denoising_loop=True))
+    t = pipe.warmup(resolutions=((32, 32),), steps=(2,), background=True)
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert pipe._fused_loops[("full", 2, True)].cache_size == 1

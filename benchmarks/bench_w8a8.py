@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""W8A8 end-to-end: latency + latent-MSE quality bound vs bf16.
+
+VERDICT r2 #2/#6: the quant pieces (ops/quant.py, quant/dynamic_quant.py)
+existed without a measured full-model number.  This harness measures, on
+the same process and device:
+
+1. bf16 e2e (SD1.5 512² 50-step fused pipeline) — the tracked headline;
+2. W8A8 e2e — UNet linears + resnet convs int8 (v5e int8 MXU ≈ 2× bf16);
+3. an on-device latent agreement bound between the two paths at 10 steps
+   with NONZERO weights (packed_normal_like) — the driver-visible check
+   that the int8 path computes the same function (rel RMSE, not a
+   cosmetic zeros==zeros pass).
+
+Usage: python benchmarks/bench_w8a8.py [--model sd15|sdxl] [--steps 50]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sfast_tpu
+from sfast_tpu.config import CompilationConfig
+from sfast_tpu.quant import quantize_pipeline
+
+
+def build(model: str, seed: int = 0):
+    from sfast_tpu.models.unet_2d_condition import (
+        SD15_UNET,
+        SDXL_UNET,
+        create_unet,
+        init_unet_params,
+    )
+    from sfast_tpu.models.autoencoder_kl import (
+        SD_VAE,
+        SDXL_VAE,
+        create_vae,
+        init_vae_params,
+    )
+    from sfast_tpu.models.clip_text import (
+        SD15_TEXT_ENCODER,
+        SDXL_TEXT_ENCODER_2,
+        create_text_encoder,
+        init_clip_text_params,
+    )
+    from sfast_tpu.models.layers import shape_only_init
+    from sfast_tpu.runtime.packed_params import packed_normal_like
+    from sfast_tpu.schedulers import (
+        DPMSolverMultistepScheduler,
+        EulerDiscreteScheduler,
+    )
+
+    def normal_params(init_fn, i):
+        with shape_only_init():
+            host = init_fn()
+        return packed_normal_like(host, seed=seed + i)
+
+    ucfg = SD15_UNET if model == "sd15" else SDXL_UNET
+    vcfg = SD_VAE if model == "sd15" else SDXL_VAE
+    unet = create_unet(ucfg, params=normal_params(lambda: init_unet_params(0, ucfg), 0))
+    dec, enc = create_vae(vcfg, params=normal_params(lambda: init_vae_params(0, vcfg), 1))
+    te = create_text_encoder(
+        SD15_TEXT_ENCODER,
+        params=normal_params(
+            lambda: init_clip_text_params(0, SD15_TEXT_ENCODER), 2
+        ),
+    )
+    if model == "sd15":
+        from sfast_tpu.pipelines import StableDiffusionPipeline
+
+        pipe = StableDiffusionPipeline(
+            unet=unet, vae=dec, vae_encode=enc, text_encoder=te,
+            scheduler=DPMSolverMultistepScheduler(),
+        )
+    else:
+        from sfast_tpu.pipelines.stable_diffusion_xl import (
+            StableDiffusionXLPipeline,
+        )
+
+        te2 = create_text_encoder(
+            SDXL_TEXT_ENCODER_2,
+            params=normal_params(
+                lambda: init_clip_text_params(0, SDXL_TEXT_ENCODER_2), 3
+            ),
+        )
+        pipe = StableDiffusionXLPipeline(
+            unet=unet, vae=dec, vae_encode=enc, text_encoder=te,
+            text_encoder_2=te2, scheduler=EulerDiscreteScheduler(),
+        )
+    return sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True)
+    )
+
+
+def median_e2e(pipe, kw, repeats):
+    pipe(seed=0, **kw)  # compile + warm
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        out = pipe(seed=i, **kw)
+        assert out.images.shape[-1] == 3
+        times.append((time.time() - t0) * 1e3)
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+    size = args.size or (512 if args.model == "sd15" else 1024)
+
+    pipe = build(args.model)
+    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, jnp.int32)
+    kw = dict(
+        prompt_ids=ids, height=size, width=size,
+        num_inference_steps=args.steps,
+    )
+    lat_kw = dict(kw, num_inference_steps=10, output_type="latent")
+
+    bf16_ms = median_e2e(pipe, kw, args.repeats)
+    lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
+
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True)
+    w8a8_ms = median_e2e(pipe, kw, args.repeats)
+    lat_q = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
+
+    rel_rmse = float(
+        np.sqrt(np.mean((lat_q - lat_bf16) ** 2))
+        / (np.sqrt(np.mean(lat_bf16**2)) + 1e-12)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_{size}_w8a8_e2e_ms",
+                "value": round(w8a8_ms, 1),
+                "unit": "ms",
+                "bf16_e2e_ms": round(bf16_ms, 1),
+                "speedup_vs_bf16": round(bf16_ms / w8a8_ms, 3),
+                "latent_rel_rmse_10step": round(rel_rmse, 4),
+                "its_per_s": round(args.steps / (w8a8_ms / 1e3), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -193,9 +193,12 @@ class CompiledModel:
             self._call.warmup(self.params, *args, **kwargs)
         return self
 
-    def update_params(self, new_params) -> None:
+    def update_params(self, new_params, allow_restructure: bool = False) -> None:
         """Hot-swap weights (LoRA switch). Structure and shapes must match;
-        a mismatch would silently force a recompile, so it is checked."""
+        a mismatch would silently force a recompile, so it is checked.
+        ``allow_restructure=True`` accepts a deliberate structure change
+        (e.g. the quantization transform's w → w_q/w_q8 rewrite) — the new
+        structure keys fresh executables."""
         if self._frozen:
             raise RuntimeError(
                 "model was compiled with freeze=True; weights are baked "
@@ -205,9 +208,30 @@ class CompiledModel:
         old_struct = jax.tree_util.tree_structure(self.params)
         new_struct = jax.tree_util.tree_structure(new_params)
         if old_struct != new_struct:
-            raise ValueError(
-                f"param tree structure changed: {old_struct} != {new_struct}"
-            )
+            if not allow_restructure:
+                raise ValueError(
+                    f"param tree structure changed: {old_struct} != {new_struct}"
+                )
+            if self._param_shardings is not None:
+                from sfast_tpu.parallel.sharding import (
+                    param_shardings,
+                    spec_fn_from_rules,
+                    unet_param_spec,
+                )
+
+                spec_fn = (
+                    spec_fn_from_rules(self.config.sharding_rules)
+                    if self.config.sharding_rules
+                    else unet_param_spec
+                )
+                self._param_shardings = param_shardings(
+                    new_params, self._mesh, spec_fn
+                )
+                new_params = jax.tree_util.tree_map(
+                    jax.device_put, new_params, self._param_shardings
+                )
+            self.params = new_params
+            return
         if self._param_shardings is not None:
             # keep the mesh placement stable across hot-swaps so the
             # executable's input layout (and thus the cache) is unchanged

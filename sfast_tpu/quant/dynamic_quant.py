@@ -72,6 +72,35 @@ def quantize_linear_params(
 _CONV_TARGETS = ("conv1", "conv2", "conv_shortcut", "conv")
 
 
+def quantize_pipeline(pipe, mode: str = "w8a16", quantize_convs: bool = False):
+    """One-call pipeline quantization — the UX analog of the reference's
+    ``torch.quantization.quantize_dynamic(m.unet, {nn.Linear}, qint8)``
+    (``examples/optimize_stable_diffusion_pipeline.py:186-209``).
+
+    Quantizes the UNet's linear weights (and, for ``mode='w8a8'`` with
+    ``quantize_convs=True``, its resnet convs) in place via
+    ``update_params`` — composes with ``compile`` before or after; the
+    structure change (w → w_q/w_q8) keys a fresh executable.  Returns the
+    pipeline."""
+    from sfast_tpu.runtime.packed_params import PackedParams, pack_tree
+
+    unet = pipe.unet
+    params = unet.params
+    packed = isinstance(params, PackedParams)
+    tree = params.unpack() if packed else params
+    tree = quantize_linear_params(tree, mode=mode)
+    if quantize_convs:
+        if mode != "w8a8":
+            raise ValueError("quantize_convs requires mode='w8a8'")
+        tree = quantize_conv_params(tree)
+    new_params = pack_tree(tree) if packed else tree
+    if hasattr(unet, "update_params"):
+        unet.update_params(new_params, allow_restructure=True)
+    else:
+        pipe.unet = unet.replace_params(new_params)
+    return pipe
+
+
 def quantize_conv_params(
     params,
     targets: Tuple[str, ...] = _CONV_TARGETS,

@@ -155,6 +155,39 @@ def packed_zeros_like(tree) -> PackedParams:
     return PackedParams(packed, tuple(metas), treedef)
 
 
+def packed_normal_like(tree, seed: int = 0, std: float = 0.05) -> PackedParams:
+    """Device PackedParams of N(0, std²) values (integer dtypes: zeros).
+
+    Nonzero placeholder weights for numeric-agreement checks — e.g. the
+    W8A8-vs-bf16 latent-MSE bound in ``benchmarks/bench_w8a8.py`` — where
+    ``packed_zeros_like`` would make every comparison trivially 0==0,
+    while real initializers cost ~135 s of host RNG (see module doc)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    totals: Dict[str, int] = {}
+    metas = []
+    for leaf in leaves:
+        key = str(leaf.dtype)
+        offset = totals.get(key, 0)
+        metas.append((key, offset, tuple(leaf.shape)))
+        totals[key] = offset + int(np.prod(leaf.shape))
+    keys = sorted(totals)
+    dtypes = {k: jnp.dtype(k) for k in keys}
+
+    def build(key):
+        out = {}
+        for i, k in enumerate(keys):
+            if jnp.issubdtype(dtypes[k], jnp.floating):
+                out[k] = std * jax.random.normal(
+                    jax.random.fold_in(key, i), (totals[k],), dtypes[k]
+                )
+            else:
+                out[k] = jnp.zeros((totals[k],), dtypes[k])
+        return out
+
+    packed = jax.jit(build)(jax.random.key(seed))
+    return PackedParams(packed, tuple(metas), treedef)
+
+
 def maybe_unpack(params):
     """Transparent unpack hook for model apply functions."""
     if isinstance(params, PackedParams):

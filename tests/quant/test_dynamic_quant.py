@@ -149,3 +149,50 @@ def test_w8a8_mode_routes_through_full_int8():
     ref = x @ params["to_q"]["w"]
     err = jnp.abs(out - ref).max() / jnp.abs(ref).max()
     assert float(err) < 4e-2, float(err)
+
+
+def test_quantize_pipeline_w8a8_end_to_end():
+    """quantize_pipeline rewrites the UNet tree (w -> w_q8) through the
+    CompiledModel (allow_restructure) and the pipeline still produces a
+    close latent trajectory — the CPU version of bench_w8a8's on-device
+    agreement bound."""
+    import sfast_tpu
+    from sfast_tpu.config import CompilationConfig
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.quant import quantize_pipeline
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+    import dataclasses
+    import jax
+    import numpy as np
+
+    from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=DPMSolverMultistepScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(enable_pallas=False)
+    )
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=0,
+              output_type="latent")
+    ref = np.asarray(pipe(prompt_ids=ids, **kw).images, np.float32)
+
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True)
+    q = pipe.unet.params
+    leaves = jax.tree_util.tree_leaves(q)
+    assert any(l.dtype == jnp.int8 for l in leaves)  # really quantized
+    got = np.asarray(pipe(prompt_ids=ids, **kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.25, rel  # int8 trajectory stays close over 4 steps

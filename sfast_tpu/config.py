@@ -80,8 +80,12 @@ class CompilationConfig:
     # model level on v5e (they sit at fusion boundaries XLA would
     # otherwise fuse through).  Validated END-TO-END (SD1.5 512² 50-step,
     # host-forced outputs, 2026-08): flash-only 1480ms < all-XLA 1557ms
-    # < pallas GN+GEGLU 1838ms.  Defaults follow the measurements; both
-    # kernels remain opt-in.
+    # < pallas GN+GEGLU 1838ms.  Re-validated on SDXL 1024² 30-step
+    # (2026-08, after the VMEM block fix): XLA-GN 3932ms < hybrid
+    # (Pallas stats + XLA apply) 4653ms < full Pallas GN 4708ms — even
+    # though SDXL's XLA GN stats trace at ~24 ms/eval of convert+reduce,
+    # pulling them into a kernel forces materializations that cost more.
+    # Defaults follow the measurements; both kernels remain opt-in.
     enable_fused_group_norm: bool = False
     enable_fused_linear_geglu: bool = False
     # Pallas fused GN+SiLU→conv3×3 for the resnet blocks (one kernel: 9

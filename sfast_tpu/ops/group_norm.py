@@ -47,6 +47,14 @@ def _largest_divisor_leq(n: int, cap: int, multiple: int = 8) -> int:
     return best or n
 
 
+def _block_hw(hw: int, c: int, cap: int) -> int:
+    """Row-block size bounded by VMEM: block×C f32 compute + in/out copies
+    must fit 16 MB with double buffering.  ~256K elements ≈ 1 MB f32
+    leaves comfortable headroom at SDXL widths (C up to 2560, where a
+    flat 1024-row cap scoped-VMEM-OOMs: 1024×2560 f32 ≈ 10 MB/buffer)."""
+    return _largest_divisor_leq(hw, max(8, min(cap, (256 * 1024) // max(c, 1))))
+
+
 def _apply_act(y, act: Optional[str]):
     if act is None:
         return y
@@ -126,7 +134,7 @@ def group_norm_stats(
     n, h, w, c = x.shape
     hw = h * w
     xf = x.reshape(n, hw, c)
-    block_hw = _largest_divisor_leq(hw, block_hw_cap)
+    block_hw = _block_hw(hw, c, block_hw_cap)
     grid = (n, hw // block_hw)
 
     stats = functools.partial(_stats_kernel, groups=groups, eps=eps, hw=hw)
@@ -192,7 +200,7 @@ def group_norm_pallas(
     assert c % groups == 0, (c, groups)
     hw = h * w
     xf = x.reshape(n, hw, c)
-    block_hw = _largest_divisor_leq(hw, block_hw_cap)
+    block_hw = _block_hw(hw, c, block_hw_cap)
     grid = (n, hw // block_hw)
 
     stats = functools.partial(_stats_kernel, groups=groups, eps=eps, hw=hw)

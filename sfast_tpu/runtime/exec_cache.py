@@ -78,14 +78,16 @@ def exec_cache_dir() -> Optional[str]:
         return None
     if os.environ.get("SFAST_TPU_DISABLE_EXEC_CACHE", "0") == "1":
         return None
-    try:
-        import jax
+    force = os.environ.get("SFAST_TPU_FORCE_EXEC_CACHE", "0") == "1"
+    if not force:  # tests force-enable on CPU; production gates to TPU
+        try:
+            import jax
 
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
-    if platform not in ("tpu", "axon"):
-        return None
+            platform = jax.devices()[0].platform
+        except Exception:
+            return None
+        if platform not in ("tpu", "axon"):
+            return None
     base = os.environ.get(
         "SFAST_TPU_CACHE_DIR",
         os.path.expanduser("~/.cache/sfast_tpu"),
@@ -119,11 +121,19 @@ def load_executable(name: str, sig_key: Any):
     if not os.path.exists(path):
         return None
     try:
+        import jax
         from jax.experimental.serialize_executable import deserialize_and_load
 
         with open(path, "rb") as f:
-            payload, in_tree, out_tree = pickle.load(f)
-        exe = deserialize_and_load(payload, in_tree, out_tree)
+            payload, in_tree, out_tree, device_ids = pickle.load(f)
+        # restore onto the same device set the executable was compiled
+        # for (a single-device program handed all N local devices fails
+        # with a shard-count mismatch)
+        by_id = {d.id: d for d in jax.devices()}
+        devices = [by_id[i] for i in device_ids]
+        exe = deserialize_and_load(
+            payload, in_tree, out_tree, execution_devices=devices
+        )
         logger.info("sfast_tpu: loaded executable %s from %s", name, path)
         return exe
     except Exception as e:  # stale/corrupt/incompatible — fall through
@@ -143,11 +153,19 @@ def save_executable(name: str, sig_key: Any, compiled) -> bool:
         from jax.experimental.serialize_executable import serialize
 
         payload, in_tree, out_tree = serialize(compiled)
+        try:
+            device_ids = [
+                d.id for d in compiled._executable.xla_executable.local_devices()
+            ]
+        except Exception:
+            import jax
+
+            device_ids = [jax.devices()[0].id]
         path = _key_path(cache_dir, name, sig_key)
         fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree), f)
+                pickle.dump((payload, in_tree, out_tree, device_ids), f)
             os.replace(tmp, path)  # atomic publish
         except BaseException:
             try:

@@ -1,0 +1,95 @@
+"""Persistent executable cache (runtime/exec_cache.py).
+
+The production gate is TPU-only (CPU AOT embeds host CPU features);
+these tests force-enable it on CPU via SFAST_TPU_FORCE_EXEC_CACHE to
+exercise the full save → new-process-simulated load → execute path.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfast_tpu.runtime.tracing import LazyCompiledFunction
+
+
+@pytest.fixture()
+def exec_cache_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SFAST_TPU_FORCE_EXEC_CACHE", "1")
+    monkeypatch.setenv("SFAST_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("SFAST_TPU_DISABLE_CACHE", raising=False)
+    yield tmp_path
+
+
+def _wait_for_save(cache_dir, timeout=30.0):
+    import glob
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        files = glob.glob(os.path.join(str(cache_dir), "exec_cache", "*.pjrt"))
+        if files:
+            return files
+        time.sleep(0.05)
+    return []
+
+
+def test_save_then_load_skips_compile(exec_cache_env):
+    calls = {"n": 0}
+
+    def f(x, y):
+        calls["n"] += 1
+        return x @ y + 1.0
+
+    a = jnp.ones((8, 8), jnp.float32)
+    fn1 = LazyCompiledFunction(f, name="exec_cache_probe")
+    out1 = np.asarray(fn1(a, a))
+    assert calls["n"] == 1  # traced once
+    files = _wait_for_save(exec_cache_env)
+    assert files, "executable was not serialized"
+
+    # fresh wrapper = simulated second process (empty in-memory cache)
+    fn2 = LazyCompiledFunction(f, name="exec_cache_probe")
+    out2 = np.asarray(fn2(a, a))
+    assert calls["n"] == 1  # NOT retraced: loaded from disk
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_distinct_signatures_distinct_entries(exec_cache_env):
+    def f(x):
+        return x * 2.0
+
+    fn = LazyCompiledFunction(f, name="exec_cache_sig")
+    fn(jnp.ones((4,), jnp.float32))
+    fn(jnp.ones((8,), jnp.float32))
+    files = _wait_for_save(exec_cache_env)
+    assert len([p for p in files if "exec_cache_sig" in p]) >= 1
+    assert fn.cache_size == 2
+
+
+def test_corrupt_entry_falls_back(exec_cache_env):
+    def f(x):
+        return x + 3.0
+
+    a = jnp.ones((4,), jnp.float32)
+    fn1 = LazyCompiledFunction(f, name="exec_cache_corrupt")
+    fn1(a)
+    files = _wait_for_save(exec_cache_env)
+    assert files
+    for p in files:
+        with open(p, "wb") as fh:
+            fh.write(b"garbage")
+    fn2 = LazyCompiledFunction(f, name="exec_cache_corrupt")
+    out = np.asarray(fn2(a))  # must recompile, not crash
+    np.testing.assert_allclose(out, 4.0 * np.ones(4))
+
+
+def test_disabled_by_default_on_cpu(tmp_path, monkeypatch):
+    monkeypatch.delenv("SFAST_TPU_FORCE_EXEC_CACHE", raising=False)
+    monkeypatch.setenv("SFAST_TPU_CACHE_DIR", str(tmp_path))
+    from sfast_tpu.runtime import exec_cache
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        assert exec_cache.exec_cache_dir() is None

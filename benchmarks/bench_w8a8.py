@@ -117,6 +117,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--no-convs", action="store_true",
+        help="quantize only the linear sites (attention/GEGLU projections)",
+    )
     args = ap.parse_args()
     size = args.size or (512 if args.model == "sd15" else 1024)
 
@@ -131,7 +135,7 @@ def main():
     bf16_ms = median_e2e(pipe, kw, args.repeats)
     lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 
-    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True)
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=not args.no_convs)
     w8a8_ms = median_e2e(pipe, kw, args.repeats)
     lat_q = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 

@@ -159,3 +159,18 @@ def test_sdxl_fused_full_pipeline_matches_stepwise():
                num_inference_steps=3, seed=6)
     assert ("xl_full", 3, False) in pipe._fused_loops
     assert np.abs(out.images.astype(int) - fused.astype(int)).max() > 1
+
+
+def test_sdxl_warmup_precompiles():
+    """The base warmup() API covers the XL pipeline's fused-full path."""
+    pipe = _xl_pipe()
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    pipe.warmup(resolutions=((64, 64),), steps=(2,))
+    fp = pipe._fused_loops[("xl_full", 2, True)]
+    assert fp.cache_size == 1
+    out = pipe(
+        prompt_ids=jnp.ones((1, 77), jnp.int32),
+        height=64, width=64, num_inference_steps=2, seed=0,
+    )
+    assert out.images.shape == (1, 64, 64, 3)
+    assert fp.cache_size == 1

@@ -77,9 +77,10 @@ def main():
     pipe = sfast_tpu.compile(pipe, config)
 
     if args.quantize:
-        from sfast_tpu.quant import quantize_linear_params
+        from sfast_tpu.quant import quantize_pipeline
 
-        pipe.unet.update_params(quantize_linear_params(pipe.unet.params))
+        # handles packed params + CompiledModel restructure in one call
+        quantize_pipeline(pipe)
 
     if getattr(pipe, "tokenizer", None) is not None:
         kw = dict(prompt=args.prompt)

@@ -97,6 +97,18 @@ def exec_cache_dir() -> Optional[str]:
     d = os.path.join(base, "exec_cache")
     try:
         os.makedirs(d, exist_ok=True)
+        # sweep leftovers of interrupted saves (mkstemp + atomic replace;
+        # a killed process can strand multi-hundred-MB .tmp files)
+        import time
+
+        for f in os.listdir(d):
+            if f.endswith(".tmp"):
+                p = os.path.join(d, f)
+                try:
+                    if time.time() - os.path.getmtime(p) > 3600:
+                        os.unlink(p)
+                except OSError:
+                    pass
     except OSError:
         return None
     return d
@@ -146,6 +158,11 @@ def load_executable(name: str, sig_key: Any):
 
 
 def save_executable(name: str, sig_key: Any, compiled) -> bool:
+    # Opt-out: over a tunneled TPU, serialize pulls the compiled binary
+    # (can be hundreds of MB) from the device and contends with live
+    # dispatch for tunnel bandwidth.  Loads are unaffected.
+    if os.environ.get("SFAST_TPU_EXEC_CACHE_SAVE", "1") == "0":
+        return False
     cache_dir = exec_cache_dir()
     if cache_dir is None:
         return False

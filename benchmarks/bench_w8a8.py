@@ -121,6 +121,10 @@ def main():
         "--no-convs", action="store_true",
         help="quantize only the linear sites (attention/GEGLU projections)",
     )
+    ap.add_argument(
+        "--static", action="store_true",
+        help="calibrated static activation scales (no per-site max pass)",
+    )
     args = ap.parse_args()
     size = args.size or (512 if args.model == "sd15" else 1024)
 
@@ -135,7 +139,14 @@ def main():
     bf16_ms = median_e2e(pipe, kw, args.repeats)
     lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 
-    quantize_pipeline(pipe, mode="w8a8", quantize_convs=not args.no_convs)
+    cal = None
+    if args.static:
+        from sfast_tpu.quant import calibrate_pipeline
+
+        cal = calibrate_pipeline(pipe, ids, height=size, width=size)
+    quantize_pipeline(
+        pipe, mode="w8a8", quantize_convs=not args.no_convs, act_scales=cal
+    )
     w8a8_ms = median_e2e(pipe, kw, args.repeats)
     lat_q = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 

@@ -137,10 +137,25 @@ def init_norm(c: int, *, dtype=jnp.float32):
     }
 
 
+def _record_calibration(p, x) -> None:
+    # active only inside quant/calibrate.py passes; one None-check hot
+    from sfast_tpu.quant.calibrate import record_site
+
+    record_site(p, x)
+
+
 def apply_conv(p: Params, x: jax.Array, **kw) -> jax.Array:
     """Conv through a param dict — picks up W8A8 int8-quantized conv
-    weights (``quant/dynamic_quant.quantize_conv_params``)."""
-    if "w_q" in p:
+    weights (``quant/dynamic_quant.quantize_conv_params``); ``a_scale``
+    present selects the calibrated static-scale variant."""
+    _record_calibration(p, x)
+    if "w_q" in p and p["w_q"].ndim == 4:
+        if "a_scale" in p:
+            from sfast_tpu.ops.quant import conv2d_w8a8_static
+
+            return conv2d_w8a8_static(
+                x, p["w_q"], p["w_scale"], p["a_scale"], p.get("b"), **kw
+            )
         from sfast_tpu.ops.quant import conv2d_w8a8
 
         return conv2d_w8a8(x, p["w_q"], p["w_scale"], p.get("b"), **kw)
@@ -150,8 +165,16 @@ def apply_conv(p: Params, x: jax.Array, **kw) -> jax.Array:
 def apply_linear(p: Params, x: jax.Array, act: Optional[str] = None) -> jax.Array:
     """Linear through a param dict — transparently picks up int8
     quantized weights (``quant/dynamic_quant.py``): ``w_q`` = W8A16
-    (memory win), ``w_q8`` = W8A8 (full-int8 compute)."""
+    (memory win), ``w_q8`` = W8A8 (full-int8 compute; + ``a_scale`` =
+    calibrated static activation scale)."""
+    _record_calibration(p, x)
     if "w_q8" in p:
+        if "a_scale" in p:
+            from sfast_tpu.ops.quant import linear_w8a8_static
+
+            return linear_w8a8_static(
+                x, p["w_q8"], p["w_scale"], p["a_scale"], p.get("b"), act=act
+            )
         from sfast_tpu.ops.quant import linear_w8a8
 
         return linear_w8a8(x, p["w_q8"], p["w_scale"], p.get("b"), act=act)

@@ -119,6 +119,84 @@ def linear_w8a8(
     return y.astype(x.dtype)
 
 
+def _quant_static(x: jax.Array, a_scale) -> jax.Array:
+    """bf16/f32 → int8 with a CONSTANT scale — a plain elementwise op
+    XLA fuses into the producer's epilogue (no max pass, no scalar
+    dependency; the whole point of calibrated W8A8 vs the dynamic
+    variant, which measured 1.3–2.5× slower e2e than bf16)."""
+    xq = jnp.round(x.astype(jnp.float32) * (1.0 / a_scale))
+    return jnp.clip(xq, -127, 127).astype(jnp.int8)
+
+
+def conv2d_w8a8_static(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    a_scale,
+    b: Optional[jax.Array] = None,
+    *,
+    stride=1,
+    padding=0,
+    act: Optional[str] = None,
+    residual: Optional[jax.Array] = None,
+) -> jax.Array:
+    """W8A8 conv with a calibrated static activation scale."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        _quant_static(x, a_scale),
+        wq,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (a_scale * w_scale)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act == "relu":
+        y = jax.nn.relu(y)
+    elif act is not None:
+        raise ValueError(act)
+    return y.astype(x.dtype)
+
+
+def linear_w8a8_static(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    a_scale,
+    b: Optional[jax.Array] = None,
+    *,
+    act: Optional[str] = None,
+) -> jax.Array:
+    """W8A8 linear with a calibrated static activation scale."""
+    y = jax.lax.dot_general(
+        _quant_static(x, a_scale),
+        wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (a_scale * w_scale)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    elif act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act is not None:
+        raise ValueError(f"unknown activation: {act}")
+    return y.astype(x.dtype)
+
+
 def int8_linear(
     x: jax.Array,
     wq: jax.Array,

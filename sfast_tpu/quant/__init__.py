@@ -1,3 +1,4 @@
+from sfast_tpu.quant.calibrate import Calibration, calibrate_pipeline
 from sfast_tpu.quant.dynamic_quant import (
     quantize_conv_params,
     quantize_linear_params,
@@ -5,6 +6,8 @@ from sfast_tpu.quant.dynamic_quant import (
 )
 
 __all__ = [
+    "Calibration",
+    "calibrate_pipeline",
     "quantize_linear_params",
     "quantize_conv_params",
     "quantize_pipeline",

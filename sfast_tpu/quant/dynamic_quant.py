@@ -11,6 +11,8 @@ first.
 
 from typing import Tuple
 
+import jax.numpy as jnp
+
 from sfast_tpu.ops.quant import quantize_weight
 
 # linear parents quantized by default — attention projections and MLPs
@@ -35,11 +37,14 @@ def quantize_linear_params(
     targets: Tuple[str, ...] = _DEFAULT_TARGETS,
     min_features: int = 64,
     mode: str = "w8a16",  # 'w8a16' (memory win) | 'w8a8' (int8 compute)
+    act_scales=None,  # quant.calibrate.Calibration -> static a_scale
 ):
     """Return a new tree where every 2-D ``w`` under a target key becomes
     ``{"w_q": int8, "w_scale": f32}`` (bias preserved).  ``mode='w8a8'``
     stores the weight under ``w_q8`` instead, which routes the forward
-    through the full-int8 matmul (dynamic activation quantization)."""
+    through the full-int8 matmul (dynamic activation quantization); with
+    ``act_scales`` (a calibration over THIS tree) a static ``a_scale``
+    is baked in so the quantize fuses into the producer epilogue."""
     key = "w_q8" if mode == "w8a8" else "w_q"
     if mode not in ("w8a16", "w8a8"):
         raise ValueError(mode)
@@ -57,6 +62,10 @@ def quantize_linear_params(
                 out = {k: v for k, v in tree.items() if k != "w"}
                 out[key] = wq
                 out["w_scale"] = scale
+                if act_scales is not None and mode == "w8a8":
+                    a = act_scales.scale_for(tree["w"])
+                    if a is not None:
+                        out["a_scale"] = jnp.float32(a)
                 return out
             return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
         if isinstance(tree, list):
@@ -72,7 +81,12 @@ def quantize_linear_params(
 _CONV_TARGETS = ("conv1", "conv2", "conv_shortcut", "conv")
 
 
-def quantize_pipeline(pipe, mode: str = "w8a16", quantize_convs: bool = False):
+def quantize_pipeline(
+    pipe,
+    mode: str = "w8a16",
+    quantize_convs: bool = False,
+    act_scales=None,  # quant.calibrate.Calibration (static-scale W8A8)
+):
     """One-call pipeline quantization — the UX analog of the reference's
     ``torch.quantization.quantize_dynamic(m.unet, {nn.Linear}, qint8)``
     (``examples/optimize_stable_diffusion_pipeline.py:186-209``).
@@ -80,19 +94,26 @@ def quantize_pipeline(pipe, mode: str = "w8a16", quantize_convs: bool = False):
     Quantizes the UNet's linear weights (and, for ``mode='w8a8'`` with
     ``quantize_convs=True``, its resnet convs) in place via
     ``update_params`` — composes with ``compile`` before or after; the
-    structure change (w → w_q/w_q8) keys a fresh executable.  Returns the
+    structure change (w → w_q/w_q8) keys a fresh executable.  Passing
+    ``act_scales`` from :func:`sfast_tpu.quant.calibrate_pipeline`
+    selects the static-scale variant (the dynamic one is a measured
+    end-to-end loss on v5e — see ``quant/calibrate.py``).  Returns the
     pipeline."""
     from sfast_tpu.runtime.packed_params import PackedParams, pack_tree
 
     unet = pipe.unet
     params = unet.params
     packed = isinstance(params, PackedParams)
-    tree = params.unpack() if packed else params
-    tree = quantize_linear_params(tree, mode=mode)
+    if act_scales is not None:
+        # ids in the calibration refer to the tree it was measured on
+        tree = act_scales.tree
+    else:
+        tree = params.unpack() if packed else params
+    tree = quantize_linear_params(tree, mode=mode, act_scales=act_scales)
     if quantize_convs:
         if mode != "w8a8":
             raise ValueError("quantize_convs requires mode='w8a8'")
-        tree = quantize_conv_params(tree)
+        tree = quantize_conv_params(tree, act_scales=act_scales)
     new_params = pack_tree(tree) if packed else tree
     if hasattr(unet, "update_params"):
         unet.update_params(new_params, allow_restructure=True)
@@ -105,11 +126,13 @@ def quantize_conv_params(
     params,
     targets: Tuple[str, ...] = _CONV_TARGETS,
     min_channels: int = 64,
+    act_scales=None,  # quant.calibrate.Calibration -> static a_scale
 ):
     """W8A8 conv transform (EXPERIMENTAL): every 4-D HWIO ``w`` under a
     target key becomes int8 + per-out-channel scales; the forward runs
     full-int8 convs with dynamic per-tensor activation quantization
-    (``ops.quant.conv2d_w8a8`` — 2× MXU rate on v5e)."""
+    (``ops.quant.conv2d_w8a8`` — 2× MXU rate on v5e), or static scales
+    when ``act_scales`` (calibrated over THIS tree) is given."""
     from sfast_tpu.ops.quant import quantize_conv_weight
 
     def rebuild(tree, path=()):
@@ -125,6 +148,10 @@ def quantize_conv_params(
                 out = {k: v for k, v in tree.items() if k != "w"}
                 out["w_q"] = wq
                 out["w_scale"] = scale
+                if act_scales is not None:
+                    a = act_scales.scale_for(tree["w"])
+                    if a is not None:
+                        out["a_scale"] = jnp.float32(a)
                 return out
             return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
         if isinstance(tree, list):

@@ -196,3 +196,53 @@ def test_quantize_pipeline_w8a8_end_to_end():
     assert np.isfinite(got).all()
     rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
     assert rel < 0.25, rel  # int8 trajectory stays close over 4 steps
+
+
+def test_calibrated_static_w8a8_end_to_end():
+    """calibrate_pipeline captures per-site activation ranges under jit
+    (site enumeration via eval_shape + ordered amax capture), and the
+    static-scale W8A8 path reproduces the bf16 trajectory closely."""
+    import dataclasses
+
+    import sfast_tpu
+    from sfast_tpu.config import CompilationConfig
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.quant import calibrate_pipeline, quantize_pipeline
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=DPMSolverMultistepScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(enable_pallas=False)
+    )
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=0,
+              output_type="latent")
+    ref = np.asarray(pipe(prompt_ids=ids, **kw).images, np.float32)
+
+    cal = calibrate_pipeline(
+        pipe, ids, height=32, width=32, timesteps=(999, 400)
+    )
+    assert len(cal.amax) > 10  # linear + conv sites captured
+    assert all(v > 0 for v in cal.amax.values())
+
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
+    # structural check: a_scale present in the rebuilt tree
+    assert "a_scale" in str(jax.tree_util.tree_structure(pipe.unet.params))
+
+    got = np.asarray(pipe(prompt_ids=ids, **kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.25, rel

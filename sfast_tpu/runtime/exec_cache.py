@@ -86,7 +86,14 @@ def exec_cache_dir() -> Optional[str]:
             platform = jax.devices()[0].platform
         except Exception:
             return None
-        if platform not in ("tpu", "axon"):
+        # Local TPU only.  Over a tunneled device ("axon"),
+        # deserialize_executable pushes the full binary (~400 MB for the
+        # fused SD1.5 pipeline) through the tunnel and MEASURED SLOWER
+        # than re-trace + the XLA cache (warm start 71.5 s vs 54.9 s,
+        # 2026-08); on local hardware the same upload is PCIe-fast and
+        # the cache turns warm start into load+dispatch.  Force with
+        # SFAST_TPU_FORCE_EXEC_CACHE=1.
+        if platform != "tpu":
             return None
     base = os.environ.get(
         "SFAST_TPU_CACHE_DIR",

@@ -132,6 +132,12 @@ CROSS_BACKEND_BOUND = 0.15
 
 def main():
     if "--emit-latents" in sys.argv:
+        # env alone is not enough: sitecustomize pre-imports jax pointed
+        # at the tunneled TPU; force the platform before backend init or
+        # the "CPU" run silently executes on the same TPU (observed as a
+        # suspiciously exact 0.0 cross-backend error)
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
         np.save(sys.argv[-1], pipeline_latents())
         return
 

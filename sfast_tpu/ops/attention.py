@@ -87,6 +87,11 @@ def dot_product_attention(
             _FLASH_MIN_Q_SMALL_D if q.shape[-1] <= _SMALL_D else _FLASH_MIN_Q
         )
         use_flash = q.shape[-2] >= min_q and k.shape[-2] >= min_q
+        # Mosaic kernels only lower on TPU; on CPU (tests, cross-backend
+        # parity subprocesses) auto mode must fall back to XLA unless the
+        # caller explicitly asked for interpret-mode flash.
+        if use_flash and not interpret and jax.default_backend() != "tpu":
+            use_flash = False
         flash_kind = "flash_int8" if backend == "int8" else "flash"
         backend = flash_kind if use_flash else "xla"
     if backend == "flash":

@@ -80,11 +80,41 @@ class StableDiffusionPipeline:
         # cached loop per step count (a 50-step loop fed 25-step state
         # would silently run the wrong trajectory)
         self._fused_loops = {}
+        self._sched_states = {}
+        self._sched_obj = scheduler
 
     # -- compile() integration -------------------------------------------
     def set_compilation_config(self, ccfg: CompilationConfig):
         self._ccfg = ccfg
         self._fused_loops = {}
+
+    def _sched_guard(self):
+        """Swapping ``pipe.scheduler`` must invalidate the fused-loop
+        executables (they close over the old scheduler's ``step``) and
+        the cached device states — otherwise a 4-step DPM++ loop would
+        silently keep running after the user installs Euler (diffusers
+        supports in-place scheduler swaps, and so does the reference via
+        re-trace)."""
+        if self._sched_obj is not self.scheduler:
+            self._fused_loops = {}
+            self._sched_states = {}
+            self._sched_obj = self.scheduler
+
+    def _scheduler_state(self, num_steps: int):
+        """Device-resident scheduler state, cached per step count.
+
+        ``set_timesteps`` materializes several small device arrays; on a
+        tunneled device every host→device transfer inside the timed call
+        is a round trip.  The state is read-only downstream (schedulers
+        are functional — ``step()`` returns a new tree, ``prepare_state``
+        copies, and no executable donates its arguments), so one copy per
+        (scheduler, num_steps) is safe to reuse across calls."""
+        entry = self._sched_states.get(num_steps)
+        if entry is not None and entry[0] is self.scheduler:
+            return entry[1]
+        state = self.scheduler.set_timesteps(num_steps)
+        self._sched_states[num_steps] = (self.scheduler, state)
+        return state
 
     def warmup(
         self,
@@ -458,6 +488,7 @@ class StableDiffusionPipeline:
         callback_on_step_end: Optional[Callable] = None,
         _warmup_only: bool = False,  # compile-without-execute (see warmup())
     ) -> PipelineOutput:
+        self._sched_guard()
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
         user_latents = latents  # pre-init value gates the fused-pipeline path
@@ -502,7 +533,7 @@ class StableDiffusionPipeline:
         if not use_full_early:
             key = jax.random.key(seed)
 
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = self._scheduler_state(num_inference_steps)
         start_index = 0
         if image is not None:
             # img2img: encode, noise to the strength point

@@ -221,6 +221,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         callback_on_step_end=None,
         _warmup_only: bool = False,  # compile-without-execute (see warmup())
     ) -> PipelineOutput:
+        self._sched_guard()
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
         if prompt_ids_2 is None:
@@ -274,7 +275,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         vae_cfg = self.vae_config
         sf = self.vae_scale_factor
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = self._scheduler_state(num_inference_steps)
         key = jax.random.key(seed)
         if latents is None:
             key, sub = jax.random.split(key)
@@ -371,7 +372,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         )
         time_ids = jnp.tile(time_ids, (2 * b, 1))
 
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = self._scheduler_state(num_inference_steps)
         vae_cfg = self.vae_config
         sf = self.vae_scale_factor
         lat_shape = (b, height // sf, width // sf, vae_cfg.latent_channels)

@@ -58,9 +58,26 @@ class StableVideoDiffusionPipeline:
         self.scheduler = scheduler or EDMEulerScheduler()
         self.dtype = dtype
         self._ccfg = CompilationConfig.Default()
+        self._sched_states = {}
+        self._sched_obj = self.scheduler
 
     def set_compilation_config(self, ccfg):
         self._ccfg = ccfg
+
+    def _sched_guard(self):
+        if self._sched_obj is not self.scheduler:
+            self._sched_states = {}
+            self._sched_obj = self.scheduler
+
+    def _scheduler_state(self, num_steps: int):
+        """Cached device-resident scheduler state (read-only downstream;
+        see StableDiffusionPipeline._scheduler_state for the rationale)."""
+        entry = self._sched_states.get(num_steps)
+        if entry is not None and entry[0] is self.scheduler:
+            return entry[1]
+        state = self.scheduler.set_timesteps(num_steps)
+        self._sched_states[num_steps] = (self.scheduler, state)
+        return state
 
     @property
     def unet_config(self):
@@ -103,6 +120,7 @@ class StableVideoDiffusionPipeline:
         seed: int = 0,
         output_type: str = "np",
     ) -> PipelineOutput:
+        self._sched_guard()
         ucfg = self.unet_config
         vcfg = self.vae_config
         num_frames = num_frames or ucfg.num_frames
@@ -141,7 +159,7 @@ class StableVideoDiffusionPipeline:
         # 4. latents
         sf = 2 ** (len(vcfg.block_out_channels) - 1)
         lh, lw = height // sf, width // sf
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = self._scheduler_state(num_inference_steps)
         key, k_lat = jax.random.split(key)
         latents = jax.random.normal(
             k_lat, (b, num_frames, lh, lw, vcfg.latent_channels), jnp.float32

@@ -261,3 +261,31 @@ def test_fused_loop_with_controlnet_matches_stepwise():
     np.testing.assert_allclose(
         np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
     )
+
+
+def test_scheduler_swap_invalidates_fused_loops_and_cached_state():
+    """Swapping ``pipe.scheduler`` after compile must rebuild the fused
+    loop (it closes over the old scheduler's ``step``) and drop the
+    cached device-resident scheduler state — otherwise the new scheduler
+    silently runs the old trajectory (or crashes on a state-key
+    mismatch, as DPM++'s fused loop did when fed Euler state)."""
+    from sfast_tpu.schedulers import EulerDiscreteScheduler
+
+    pipe = _tiny_pipe(DPMSolverMultistepScheduler())
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=3)
+
+    a = np.asarray(pipe(seed=0, **kw).images)
+    b = np.asarray(pipe(seed=0, **kw).images)  # second call: cached state
+    np.testing.assert_array_equal(a, b)
+    assert 3 in pipe._sched_states
+
+    pipe.scheduler = EulerDiscreteScheduler()
+    e = np.asarray(pipe(seed=0, **kw).images)
+    assert pipe._sched_obj is pipe.scheduler
+    assert (a != e).any()
+
+    pipe.scheduler = DPMSolverMultistepScheduler()
+    a2 = np.asarray(pipe(seed=0, **kw).images)
+    np.testing.assert_array_equal(a, a2)

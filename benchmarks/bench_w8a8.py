@@ -100,8 +100,16 @@ def build(model: str, seed: int = 0):
     )
 
 
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"[w8a8 +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def median_e2e(pipe, kw, repeats):
     pipe(seed=0, **kw)  # compile + warm
+    log(f"warm/compile done ({kw['num_inference_steps']} steps)")
     times = []
     for i in range(repeats):
         t0 = time.time()
@@ -136,18 +144,24 @@ def main():
     )
     lat_kw = dict(kw, num_inference_steps=10, output_type="latent")
 
+    log("pipeline built; measuring bf16 e2e")
     bf16_ms = median_e2e(pipe, kw, args.repeats)
+    log(f"bf16 e2e {bf16_ms:.1f} ms; capturing 10-step bf16 latents")
     lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 
     cal = None
     if args.static:
         from sfast_tpu.quant import calibrate_pipeline
 
+        log("calibrating activation ranges")
         cal = calibrate_pipeline(pipe, ids, height=size, width=size)
+        log(f"calibration done ({len(cal.amax)} sites)")
     quantize_pipeline(
         pipe, mode="w8a8", quantize_convs=not args.no_convs, act_scales=cal
     )
+    log("quantize transform done; measuring w8a8 e2e")
     w8a8_ms = median_e2e(pipe, kw, args.repeats)
+    log(f"w8a8 e2e {w8a8_ms:.1f} ms; capturing 10-step w8a8 latents")
     lat_q = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
 
     rel_rmse = float(

@@ -13,26 +13,31 @@ Mechanism (works under jit, no eager execution — eager op-by-op over a
 tunneled TPU would take hours):
 
 1. **site enumeration**: one ``jax.eval_shape`` trace of the model
-   forward with the CONCRETE param tree closed over — the hooks in
+   forward with a CONCRETE param tree closed over — the hooks in
    ``layers.apply_linear/apply_conv`` record ``id(p["w"])`` of the real
-   weight leaves, in call order, with zero compute;
+   weight leaves, in call order, with zero compute.  For packed params
+   the tree is a zero-byte HOST placeholder (stride-0 broadcasts carved
+   from the pack metadata), so enumeration never touches the device;
 2. **amax capture**: one jitted forward with params as arguments — the
    hooks append ``max(|x|)`` tracers in the SAME call order, returned
-   as extra outputs.  Tracing is single-threaded and deterministic, so
-   zip(order₁, order₂) associates each site's weight id with its
-   measured activation range.
+   stacked as ONE array (a single device fetch; per-scalar ``float()``
+   fetches are one tunnel round trip EACH).  Tracing is single-threaded
+   and deterministic, so zip(order₁, order₂) associates each site's
+   weight with its measured activation range.
 
-``Calibration`` carries both the ranges and the exact tree they were
-measured on, so ``quantize_pipeline(act_scales=cal)`` can bake
-``a_scale`` leaves into the matching param dicts.
+Ranges are stored keyed by the weight leaf's *tree path* — stable
+across pack/unpack/retrace — so ``quantize_pipeline(act_scales=cal)``
+can bake ``a_scale`` leaves into the matching param dicts inside a
+single jitted transform (object identity would not survive tracing).
 """
 
 import contextlib
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _SINK: Optional[dict] = None  # {"mode": "sites"|"amax", "out": list}
 
@@ -60,47 +65,86 @@ def record_site(p, x) -> None:
         _SINK["out"].append(jnp.max(jnp.abs(x.astype(jnp.float32))))
 
 
+def _norm_key(k):
+    if isinstance(k, jax.tree_util.DictKey):
+        return k.key
+    if isinstance(k, jax.tree_util.SequenceKey):
+        return k.idx
+    if isinstance(k, jax.tree_util.GetAttrKey):
+        return k.name
+    if isinstance(k, jax.tree_util.FlattenedIndexKey):
+        return k.key
+    return k
+
+
+def _paths_by_id(tree) -> Dict[int, Tuple]:
+    """id(leaf) → normalized (key, ...) path, for every leaf of ``tree``."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {id(leaf): tuple(_norm_key(k) for k in path) for path, leaf in flat}
+
+
+def placeholder_tree(packed):
+    """Zero-byte host tree with the shapes/dtypes of a ``PackedParams`` —
+    distinct stride-0 numpy leaves, usable for site enumeration (leaf
+    identity) without any device traffic."""
+    leaves = [
+        np.broadcast_to(np.zeros((), np.dtype(dt)), shape)
+        for (dt, _offset, shape) in packed.metas
+    ]
+    return jax.tree_util.tree_unflatten(packed.treedef, leaves)
+
+
 @dataclasses.dataclass
 class Calibration:
-    """Per-site activation ranges, tied to the tree they index into."""
+    """Per-site activation ranges keyed by the weight leaf's tree path."""
 
-    amax: Dict[int, float]  # id(weight leaf) -> max|x| over calibration
-    tree: Any  # the unpacked param tree the ids refer to
+    amax: Dict[Tuple, float]  # path of the weight leaf -> max|x| observed
 
-    def scale_for(self, w) -> Optional[float]:
-        a = self.amax.get(id(w))
+    def scale_for_path(self, path: Tuple) -> Optional[float]:
+        a = self.amax.get(tuple(path))
         return None if a is None else max(a, 1e-6) / 127.0
 
 
-def calibrate_forward(apply_fn, tree, inputs: Sequence[tuple]) -> Calibration:
-    """Run `apply_fn(tree, *args)` over the given input batches and
-    return per-site activation ranges.  ``tree`` must be the concrete
-    (unpacked) params; ids in the result refer to its leaves."""
+def calibrate_forward(
+    apply_fn, tree, inputs: Sequence[tuple], run_params: Any = None
+) -> Calibration:
+    """Run ``apply_fn(params, *args)`` over the given input batches and
+    return per-site activation ranges keyed by weight path.
+
+    ``tree`` is the concrete (host placeholder or real) param tree used
+    only for site enumeration; ``run_params`` (default: ``tree``) is
+    what the jitted amax pass actually executes with — pass the packed
+    params here so nothing is unpacked eagerly."""
+    if run_params is None:
+        run_params = tree
+
     # pass 1: site order, zero compute (tree closed over -> concrete ids)
     sites: List = []
     with _sink("sites", sites):
         jax.eval_shape(lambda *a: apply_fn(tree, *a), *inputs[0])
+    paths = _paths_by_id(tree)
+    site_paths = [paths.get(sid) for sid in sites]
 
-    # pass 2: jitted amax capture (params as argument)
+    # pass 2: jitted amax capture (params as argument, ONE stacked fetch)
     def capture(params, *args):
         out: List = []
         with _sink("amax", out):
             apply_fn(params, *args)
-        return tuple(out)
+        return jnp.stack(out) if out else jnp.zeros((0,), jnp.float32)
 
     cap = jax.jit(capture)
-    amax: Dict[int, float] = {}
+    amax: Dict[Tuple, float] = {}
     for args in inputs:
-        vals = [float(v) for v in cap(tree, *args)]
-        if len(vals) != len(sites):
+        vals = np.asarray(cap(run_params, *args), np.float32)
+        if len(vals) != len(site_paths):
             raise RuntimeError(
-                f"calibration call order diverged: {len(sites)} sites vs "
-                f"{len(vals)} captures"
+                f"calibration call order diverged: {len(site_paths)} sites "
+                f"vs {len(vals)} captures"
             )
-        for sid, v in zip(sites, vals):
-            if sid is not None:
-                amax[sid] = max(amax.get(sid, 0.0), v)
-    return Calibration(amax=amax, tree=tree)
+        for path, v in zip(site_paths, vals):
+            if path is not None:
+                amax[path] = max(amax.get(path, 0.0), float(v))
+    return Calibration(amax=amax)
 
 
 def calibrate_pipeline(
@@ -126,7 +170,10 @@ def calibrate_pipeline(
     unet = pipe.unet
     model = unet.model if isinstance(unet, CompiledModel) else unet
     params = unet.params
-    tree = params.unpack() if isinstance(params, PackedParams) else params
+    if isinstance(params, PackedParams):
+        tree, run_params = placeholder_tree(params), params
+    else:
+        tree, run_params = params, params
 
     context = pipe.encode_prompt(prompt_ids)
     b2 = context.shape[0]
@@ -142,7 +189,6 @@ def calibrate_pipeline(
 
     key = jax.random.key(seed)
     inputs = []
-    n = len(timesteps)
     for i, t in enumerate(timesteps):
         key, sub = jax.random.split(key)
         # late timesteps carry ~init_sigma-scaled latents, early ~unit
@@ -153,4 +199,4 @@ def calibrate_pipeline(
         )
 
     apply_fn = model.apply_fn(pipe._ccfg)
-    return calibrate_forward(apply_fn, tree, inputs)
+    return calibrate_forward(apply_fn, tree, inputs, run_params=run_params)

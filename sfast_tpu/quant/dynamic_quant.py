@@ -43,8 +43,9 @@ def quantize_linear_params(
     ``{"w_q": int8, "w_scale": f32}`` (bias preserved).  ``mode='w8a8'``
     stores the weight under ``w_q8`` instead, which routes the forward
     through the full-int8 matmul (dynamic activation quantization); with
-    ``act_scales`` (a calibration over THIS tree) a static ``a_scale``
-    is baked in so the quantize fuses into the producer epilogue."""
+    ``act_scales`` (path-keyed, from ``quant.calibrate``) a static
+    ``a_scale`` is baked in so the quantize fuses into the producer
+    epilogue."""
     key = "w_q8" if mode == "w8a8" else "w_q"
     if mode not in ("w8a16", "w8a8"):
         raise ValueError(mode)
@@ -63,7 +64,7 @@ def quantize_linear_params(
                 out[key] = wq
                 out["w_scale"] = scale
                 if act_scales is not None and mode == "w8a8":
-                    a = act_scales.scale_for(tree["w"])
+                    a = act_scales.scale_for_path(path + ("w",))
                     if a is not None:
                         out["a_scale"] = jnp.float32(a)
                 return out
@@ -99,22 +100,32 @@ def quantize_pipeline(
     selects the static-scale variant (the dynamic one is a measured
     end-to-end loss on v5e — see ``quant/calibrate.py``).  Returns the
     pipeline."""
+    import jax
+
     from sfast_tpu.runtime.packed_params import PackedParams, pack_tree
+
+    if quantize_convs and mode != "w8a8":
+        raise ValueError("quantize_convs requires mode='w8a8'")
 
     unet = pipe.unet
     params = unet.params
     packed = isinstance(params, PackedParams)
-    if act_scales is not None:
-        # ids in the calibration refer to the tree it was measured on
-        tree = act_scales.tree
+
+    def transform(tree):
+        tree = quantize_linear_params(tree, mode=mode, act_scales=act_scales)
+        if quantize_convs:
+            tree = quantize_conv_params(tree, act_scales=act_scales)
+        return tree
+
+    if packed:
+        # ONE executable: unpack → quantize every site → repack.  The
+        # eager per-leaf version (~700 tiny ops) took >1 h over a
+        # tunneled device; this is one compile + one dispatch.
+        new_params = jax.jit(lambda pp: pack_tree(transform(pp.unpack())))(
+            params
+        )
     else:
-        tree = params.unpack() if packed else params
-    tree = quantize_linear_params(tree, mode=mode, act_scales=act_scales)
-    if quantize_convs:
-        if mode != "w8a8":
-            raise ValueError("quantize_convs requires mode='w8a8'")
-        tree = quantize_conv_params(tree, act_scales=act_scales)
-    new_params = pack_tree(tree) if packed else tree
+        new_params = transform(params)
     if hasattr(unet, "update_params"):
         unet.update_params(new_params, allow_restructure=True)
     else:
@@ -149,7 +160,7 @@ def quantize_conv_params(
                 out["w_q"] = wq
                 out["w_scale"] = scale
                 if act_scales is not None:
-                    a = act_scales.scale_for(tree["w"])
+                    a = act_scales.scale_for_path(path + ("w",))
                     if a is not None:
                         out["a_scale"] = jnp.float32(a)
                 return out

@@ -246,3 +246,106 @@ def test_calibrated_static_w8a8_end_to_end():
     assert np.isfinite(got).all()
     rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
     assert rel < 0.25, rel
+
+
+def test_packed_static_w8a8_single_executable_path():
+    """The TPU bench path: params PACKED, calibration over a zero-byte
+    host placeholder tree, quantize as ONE jitted unpack→quantize→repack
+    executable.  Must bake the SAME scales at the SAME sites as the eager
+    unpacked transform (path-keyed scales survive pack/trace, where
+    object ids would not).
+
+    Comparison is on the quantized TREES plus a statistical latent bound
+    — NOT allclose on final latents: the packed and dict-param pipelines
+    are different executables, whose max-reductions differ by ~1 f32 ulp
+    (measured 1.2e-7); one ulp of a_scale flips int8 rounding at
+    boundaries and 4 denoise steps amplify that chaotically."""
+    import dataclasses
+
+    import sfast_tpu
+    from sfast_tpu.config import CompilationConfig
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.models.unet_2d_condition import TINY_UNET, create_unet
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.quant import calibrate_pipeline, quantize_pipeline
+    from sfast_tpu.runtime.packed_params import PackedParams, pack_tree
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+
+    def build(params):
+        dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+        pipe = StableDiffusionPipeline(
+            unet=create_unet(
+                dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+                params=params,
+            ),
+            vae=dec, vae_encode=enc,
+            text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+            scheduler=DPMSolverMultistepScheduler(),
+            dtype=jnp.float32,
+        )
+        sfast_tpu.compile(
+            pipe, CompilationConfig.Default().replace(enable_pallas=False)
+        )
+        return pipe
+
+    raw = create_unet(
+        dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+        jax.random.key(1),
+    ).params
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=32, width=32, num_inference_steps=4,
+              seed=0, output_type="latent")
+
+    # eager/unpacked reference path
+    pipe_u = build(raw)
+    cal_u = calibrate_pipeline(pipe_u, ids, height=32, width=32,
+                               timesteps=(999, 400))
+    quantize_pipeline(pipe_u, mode="w8a8", quantize_convs=True,
+                      act_scales=cal_u)
+    ref = np.asarray(pipe_u(**kw).images, np.float32)
+
+    # packed path (what the device bench runs)
+    pipe_p = build(pack_tree(raw))
+    cal_p = calibrate_pipeline(pipe_p, ids, height=32, width=32,
+                               timesteps=(999, 400))
+    assert cal_p.amax, "no sites captured on the packed path"
+    # path keys AND measured ranges must agree between the packed and
+    # unpacked calibrations (values to reduction-order ulps)
+    assert set(cal_p.amax) == set(cal_u.amax)
+    for k, v in cal_u.amax.items():
+        assert abs(cal_p.amax[k] - v) <= 1e-4 * max(abs(v), 1e-6), (k, v)
+    quantize_pipeline(pipe_p, mode="w8a8", quantize_convs=True,
+                      act_scales=cal_p)
+    assert isinstance(pipe_p.unet.params, PackedParams)
+    assert "a_scale" in str(pipe_p.unet.params.treedef)
+
+    # the strong check: the packed transform quantized the SAME sites to
+    # the SAME int8 weights and (ulp-close) scales as the eager one
+    flat_u = jax.tree_util.tree_flatten_with_path(pipe_u.unet.params)[0]
+    flat_p = {
+        tuple(str(k) for k in p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(
+            pipe_p.unet.params.unpack()
+        )[0]
+    }
+    n_q = n_a = 0
+    for p, leaf_u in flat_u:
+        key = tuple(str(k) for k in p)
+        a, b = np.asarray(leaf_u), np.asarray(flat_p[key])
+        assert a.shape == b.shape, key
+        if a.dtype == np.int8:
+            n_q += 1
+            # identical quantized weights modulo a 1-ulp scale flip
+            assert np.mean(a != b) < 1e-3, key
+        elif "scale" in key[-1]:
+            n_a += "a_scale" in key[-1]
+            np.testing.assert_allclose(b, a, rtol=1e-4, err_msg=str(key))
+    assert n_q >= 10 and n_a >= 10, (n_q, n_a)
+
+    # trajectory bound: loose (cross-executable ulps amplify over steps),
+    # catches gross scale/site misrouting
+    got = np.asarray(pipe_p(**kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.15, rel

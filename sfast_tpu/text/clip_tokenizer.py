@@ -146,12 +146,41 @@ except ImportError:  # pragma: no cover
     )
 
 
+def _hf_hub_candidates() -> List[str]:
+    """Tokenizer dirs inside the local HuggingFace hub cache
+    (``models--*/snapshots/*/tokenizer``) — any machine that has ever
+    downloaded an SD checkpoint has the CLIP vocab here.  CLIP-ViT text
+    towers share one vocabulary, so any hit tokenizes identically;
+    prefer stable-diffusion repos for determinism."""
+    base = os.environ.get(
+        "HF_HOME", os.path.join(os.path.expanduser("~"), ".cache", "huggingface")
+    )
+    hub = os.environ.get("HF_HUB_CACHE", os.path.join(base, "hub"))
+    if not os.path.isdir(hub):
+        return []
+    out: List[str] = []
+    for model in sorted(
+        os.listdir(hub),
+        key=lambda m: (0 if "stable-diffusion" in m else 1, m),
+    ):
+        snaps = os.path.join(hub, model, "snapshots")
+        if not model.startswith("models--") or not os.path.isdir(snaps):
+            continue
+        for snap in sorted(os.listdir(snaps)):
+            for sub in ("tokenizer", ""):
+                d = os.path.join(snaps, snap, sub) if sub else os.path.join(snaps, snap)
+                if os.path.isfile(os.path.join(d, "vocab.json")):
+                    out.append(d)
+    return out
+
+
 def find_vocab_files(root: Optional[str] = None) -> Optional[Tuple[str, str]]:
     """Locate (vocab.json, merges.txt) under common layouts.
 
     Search order: ``root`` itself, ``root/tokenizer``, the
-    ``SFAST_TPU_CLIP_VOCAB`` env var, and the packaged
-    ``sfast_tpu/text/data`` drop-in directory.  Returns None when
+    ``SFAST_TPU_CLIP_VOCAB`` env var, the packaged
+    ``sfast_tpu/text/data`` drop-in directory, and finally any SD/CLIP
+    checkpoint in the local HuggingFace hub cache.  Returns None when
     nothing is found (callers degrade to requiring pre-tokenized ids,
     the pre-round-3 behavior).
     """
@@ -162,6 +191,7 @@ def find_vocab_files(root: Optional[str] = None) -> Optional[Tuple[str, str]]:
     if env:
         candidates += [env, os.path.join(env, "tokenizer")]
     candidates.append(os.path.join(os.path.dirname(__file__), "data"))
+    candidates += _hf_hub_candidates()
     for c in candidates:
         v = os.path.join(c, "vocab.json")
         m = os.path.join(c, "merges.txt")

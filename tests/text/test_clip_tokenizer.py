@@ -163,6 +163,25 @@ def test_find_vocab_files(vocab_dir, tmp_path, monkeypatch):
     # env-var discovery
     monkeypatch.setenv("SFAST_TPU_CLIP_VOCAB", str(ckpt))
     assert find_vocab_files(None) is not None
+    monkeypatch.delenv("SFAST_TPU_CLIP_VOCAB")
+
+    # HF hub cache layout: hub/models--*/snapshots/<rev>/tokenizer/
+    hub = tmp_path / "hf" / "hub"
+    snap = (
+        hub
+        / "models--runwayml--stable-diffusion-v1-5"
+        / "snapshots"
+        / "abc123"
+        / "tokenizer"
+    )
+    snap.mkdir(parents=True)
+    for name in ("vocab.json", "merges.txt"):
+        (snap / name).write_bytes(
+            open(os.path.join(vocab_dir, name), "rb").read()
+        )
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    v, m = find_vocab_files(None)
+    assert "snapshots" in v and m.endswith("merges.txt")
 
 
 def test_pipeline_accepts_native_tokenizer(vocab_dir):

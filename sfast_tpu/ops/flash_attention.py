@@ -35,6 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANES = 128
+# exp(x) == exp2(x·log₂e).  The TPU VPU's transcendental unit computes
+# exp2 natively (exp lowers to exp2 plus a per-element multiply); folding
+# log₂e into the q prescale (one multiply over (S, d)) replaces every
+# in-kernel exp over the (block_q, block_k) score blocks — where this
+# kernel is VPU-bound (SDXL trace 2026-08) — with a bare exp2.
+LOG2E = math.log2(math.e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,8 +105,9 @@ def _flash_kernel(
     # VPU at packed-bf16 rate and feeds the MXU without a cast pass; the
     # row-sum still accumulates in f32 (exact).  ~0.4% p error — the
     # same trade as the reference's fp16-accum lowp GEMMs.
-    p = jnp.exp((s - m_next[:, :1]).astype(softmax_dtype))
-    alpha = jnp.exp(m_prev - m_next)  # (block_q, LANES)
+    # Scores arrive pre-scaled by log₂e (see LOG2E), so exp == exp2 here.
+    p = jnp.exp2((s - m_next[:, :1]).astype(softmax_dtype))
+    alpha = jnp.exp2(m_prev - m_next)  # (block_q, LANES)
     l_next = l_prev * alpha + jnp.broadcast_to(
         jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), l_prev.shape
     )
@@ -196,9 +203,10 @@ def _flash_int8_kernel(
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
     # block-local softmax numerator: peaks at exactly 1 per row
-    p2 = jnp.exp(s - m_cur)
-    alpha = jnp.exp(m_prev - m_next)
-    beta = jnp.exp(m_cur - m_next[:, :1])  # (block_q, 1), ≤ 1
+    # (scores are pre-scaled by log₂e outside, so exp == exp2 here)
+    p2 = jnp.exp2(s - m_cur)
+    alpha = jnp.exp2(m_prev - m_next)
+    beta = jnp.exp2(m_cur - m_next[:, :1])  # (block_q, 1), ≤ 1
     l_next = l_prev * alpha + jnp.broadcast_to(
         beta * jnp.sum(p2, axis=-1, keepdims=True), l_prev.shape
     )
@@ -263,7 +271,8 @@ def flash_attention_int8(
     out_dtype = q.dtype
     bh = batch * heads
 
-    qf = q.reshape(bh, sq, d).astype(jnp.float32) * jnp.float32(scale)
+    # fold log₂e into the prescale: all in-kernel exps become bare exp2
+    qf = q.reshape(bh, sq, d).astype(jnp.float32) * jnp.float32(scale * LOG2E)
     kf = k.reshape(bh, sk, d).astype(jnp.float32)
     vf = v.reshape(bh, sk, d).astype(jnp.float32)
 
@@ -383,7 +392,8 @@ def flash_attention(
         scale = 1.0 / math.sqrt(d)
     out_dtype = q.dtype
 
-    q = (q * jnp.asarray(scale, q.dtype)).reshape(batch * heads, sq, d)
+    # fold log₂e into the prescale: all in-kernel exps become bare exp2
+    q = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(batch * heads, sq, d)
     k = k.reshape(batch * heads, sk, d)
     v = v.reshape(batch * heads, sk, d)
 

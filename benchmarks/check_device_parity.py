@@ -71,6 +71,33 @@ def kernel_checks():
     b = 0.05 * jax.random.normal(jax.random.fold_in(key, 6), (256,), jnp.bfloat16)
     ref = conv2d(x, w, b, padding=1)
     out["conv3x3_pallas"] = rel_err(conv3x3_gn_silu(x, w, b), ref)
+
+    # calibrated static-scale W8A8 linear + conv (the quantize_pipeline
+    # act_scales path) vs their bf16 references at UNet shape classes
+    from sfast_tpu.ops.quant import (
+        conv2d_w8a8_static,
+        linear_w8a8_static,
+        quantize_conv_weight,
+        quantize_weight,
+    )
+    from sfast_tpu.ops.linear import linear as linear_ref
+
+    xl = jax.random.normal(jax.random.fold_in(key, 7), (4096, 640), jnp.bfloat16)
+    wl = 0.05 * jax.random.normal(
+        jax.random.fold_in(key, 8), (640, 640), jnp.bfloat16
+    )
+    wq, ws = quantize_weight(wl)
+    a = float(jnp.max(jnp.abs(xl)).astype(jnp.float32)) / 127.0
+    out["linear_w8a8_static"] = rel_err(
+        linear_w8a8_static(xl, wq.astype(jnp.int8), ws, jnp.float32(a)),
+        linear_ref(xl, wl),
+    )
+    wq4, ws4 = quantize_conv_weight(w)
+    ac = float(jnp.max(jnp.abs(x)).astype(jnp.float32)) / 127.0
+    out["conv_w8a8_static"] = rel_err(
+        conv2d_w8a8_static(x, wq4.astype(jnp.int8), ws4, jnp.float32(ac), b, padding=1),
+        ref,
+    )
     return out
 
 

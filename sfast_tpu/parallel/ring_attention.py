@@ -31,7 +31,9 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
     n = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    qf = q.astype(jnp.float32) * scale
+    # fold log₂e into the prescale so the per-step softmax exps are bare
+    # exp2 (native on the TPU VPU) — same trick as ops/flash_attention.py
+    qf = q.astype(jnp.float32) * (scale * math.log2(math.e))
     b, h, s_loc, d = q.shape
 
     def step(carry, _):
@@ -41,8 +43,8 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
         )  # (B,H,Sq,Sk_local)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jnp.einsum(
             "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32)

@@ -32,6 +32,11 @@ from sfast_tpu.pipelines import StableDiffusionPipeline
 BASELINE_MS = 995.0
 STEPS = 50
 REPEATS = 3
+# Opt-in calibrated W8A8 headline (SFAST_TPU_BENCH_W8A8=1): quantizes the
+# UNet's linears+convs with static activation scales before timing.  Kept
+# off by default until the measured e2e beats bf16 on this chip (the
+# dynamic-quant variant measured 1.3-2.5x SLOWER e2e; see STATUS.md).
+W8A8 = os.environ.get("SFAST_TPU_BENCH_W8A8", "0") == "1"
 
 
 def _zeros_on_device(init_fn):
@@ -82,6 +87,13 @@ def main():
     prompt_ids = jax.random.randint(
         jax.random.key(1), (1, 77), 0, 49408, dtype=jnp.int32
     )
+    if W8A8:
+        from sfast_tpu.quant import calibrate_pipeline, quantize_pipeline
+
+        cal = calibrate_pipeline(pipe, prompt_ids, height=512, width=512)
+        quantize_pipeline(
+            pipe, mode="w8a8", quantize_convs=True, act_scales=cal
+        )
     kw = dict(
         prompt_ids=prompt_ids,
         height=512,
@@ -133,6 +145,7 @@ def main():
         json.dumps(
             {
                 "detail": {
+                    "quantized": "w8a8-static" if W8A8 else "bf16",
                     "all_runs_ms": [round(t, 1) for t in times],
                     "warmup_incl_compile_s": round(compile_s, 1),
                     "build_s": round(t_build and time.time() - t_build, 1),

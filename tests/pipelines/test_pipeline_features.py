@@ -211,3 +211,23 @@ def test_warmup_background_thread():
     t.join(timeout=300)
     assert not t.is_alive()
     assert pipe._fused_loops[("full", 2, True)].cache_size == 1
+
+
+def test_warmup_after_quantize_serves_quantized_structure():
+    """Serving flow: quantize (W8A8 static), then pre-warm resolutions —
+    the warmed executables must carry the QUANTIZED param structure so
+    the later real call is a pure cache hit."""
+    from sfast_tpu.quant import calibrate_pipeline, quantize_pipeline
+
+    pipe = _pipe(ccfg=CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+    cal = calibrate_pipeline(pipe, ids, height=32, width=32, timesteps=(999,))
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
+    pipe.warmup(resolutions=((32, 32),), steps=(2,))
+    fp = pipe._fused_loops[("full", 2, True)]
+    n = fp.cache_size
+    assert n >= 1
+    img = pipe(prompt_ids=ids, height=32, width=32, num_inference_steps=2,
+               seed=0).images
+    assert img.shape == (1, 32, 32, 3)
+    assert fp.cache_size == n  # warmed executable reused, no recompile

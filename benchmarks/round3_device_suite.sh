@@ -17,6 +17,10 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a "$OUT/suite.log"
 }
 
+# 0. kernel + cross-backend parity FIRST — asserts the exp2 softmax and
+#    W8A8-static kernels lower and agree on real hardware before the
+#    long benches spend an hour on a broken kernel
+run device_parity       3600 python -u benchmarks/check_device_parity.py
 # 1. headline (also primes the XLA cache for the driver's scored run)
 run bench_headline      3600 python -u bench.py
 # 2. static-calibrated W8A8, SD1.5 (the VERDICT-#2 lever)
@@ -31,8 +35,5 @@ run w8a8_sdxl_static    6000 python -u benchmarks/bench_w8a8.py --model sdxl --s
 run controlnet          4800 python -u benchmarks/bench_extra_configs.py controlnet
 # 7. SVD-XT one real measured clip (25f @ 576x1024, 25 steps)
 run svd_xt_fullsize     7200 python -u benchmarks/bench_svd_xt_fullsize.py
-# 8. on-hardware kernel + cross-backend parity (now incl. W8A8-static kernels)
-run device_parity       3600 python -u benchmarks/check_device_parity.py
-
 echo "=== suite done $(date +%H:%M:%S)" | tee -a "$OUT/suite.log"
 grep -h "metric\|vs_baseline" "$OUT"/*.json 2>/dev/null | tail -20

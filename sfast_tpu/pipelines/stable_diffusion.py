@@ -649,17 +649,10 @@ class StableDiffusionPipeline:
                     with_ip=with_ip,
                 )
                 self._fused_loops[lkey] = fused
-            params = (
-                self.unet.params
-                if isinstance(self.unet, CompiledModel)
-                else self.unet_model.params
-            )
-            cn_params = None
-            if with_control:
-                cn = self.controlnet
-                cn_params = (
-                    cn.params if isinstance(cn, CompiledModel) else cn.params
-                )
+            # CompiledModel and Model both expose .params (the compiled
+            # wrapper forwards to its live, hot-swappable tree)
+            params = self.unet.params
+            cn_params = self.controlnet.params if with_control else None
             key, sub = jax.random.split(key)
             latents = fused(
                 params, cn_params, latents, context, state, gs, sub,

@@ -125,3 +125,18 @@ def test_ring_attention_dispatch_through_compile():
     m = compile_model(sp_unet, CCFG.replace(mesh=mesh), name="u_sp")
     out = np.asarray(m(x, t, ctx))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_pipeline_under_tp_mesh():
+    """The production serving config — whole-pipeline single-dispatch
+    executable (fuse_denoising_loop) — compiled over a TP mesh must
+    match the single-device fused result bit-for-tolerance."""
+    fused = CCFG.replace(fuse_denoising_loop=True)
+    ref = _latents(sfast_tpu.compile(_tiny_pipe(), fused))
+
+    mesh = make_mesh((1, 4), ("dp", "tp"), devices=jax.devices()[:4])
+    pipe = sfast_tpu.compile(_tiny_pipe(), fused.replace(mesh=mesh))
+    out = _latents(pipe)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    # it really went through the fused path
+    assert pipe._fused_loops, "fused executable was not built"

@@ -175,8 +175,27 @@ def calibrate_pipeline(
     else:
         tree, run_params = params, params
 
-    context = pipe.encode_prompt(prompt_ids)
-    b2 = context.shape[0]
+    apply_fn = model.apply_fn(pipe._ccfg)
+    if hasattr(pipe, "encode_prompt_xl"):
+        # SDXL: dual-encoder context + required added conditioning
+        # (text_embeds + time_ids), CFG batch mirrors __call__'s
+        # zero-embedding uncond branch
+        cond, pooled_c = pipe.encode_prompt_xl(prompt_ids, prompt_ids)
+        context = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+        pooled = jnp.concatenate([jnp.zeros_like(pooled_c), pooled_c], axis=0)
+        b2 = context.shape[0]
+        time_ids = jnp.tile(
+            jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32),
+            (b2, 1),
+        )
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+        base_apply = apply_fn
+        apply_fn = lambda p, lat, t, ctx: base_apply(  # noqa: E731
+            p, lat, t, ctx, added_cond_kwargs=added
+        )
+    else:
+        context = pipe.encode_prompt(prompt_ids)
+        b2 = context.shape[0]
     sf = pipe.vae_scale_factor
     lat_c = pipe.vae_config.latent_channels
     shape = (b2, height // sf, width // sf, lat_c)
@@ -198,5 +217,4 @@ def calibrate_pipeline(
             (lat.astype(pipe.dtype), jnp.asarray(float(t), jnp.float32), context)
         )
 
-    apply_fn = model.apply_fn(pipe._ccfg)
     return calibrate_forward(apply_fn, tree, inputs, run_params=run_params)

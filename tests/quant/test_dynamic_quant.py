@@ -349,3 +349,29 @@ def test_packed_static_w8a8_single_executable_path():
     assert np.isfinite(got).all()
     rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
     assert rel < 0.15, rel
+
+
+def test_sdxl_calibrated_static_w8a8_end_to_end():
+    """SDXL calibration must feed the UNet its REQUIRED added
+    conditioning (dual-encoder context + text_embeds/time_ids) — the
+    SD1.5-shaped calibration forward fails on the XL architecture."""
+    from tests.pipelines.test_sdxl_lcm import _xl_pipe, CCFG as XL_CCFG
+
+    import sfast_tpu
+    from sfast_tpu.quant import calibrate_pipeline, quantize_pipeline
+
+    pipe = sfast_tpu.compile(_xl_pipe(), XL_CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=3,
+              seed=0, output_type="latent")
+    ref = np.asarray(pipe(**kw).images, np.float32)
+
+    cal = calibrate_pipeline(pipe, ids, height=64, width=64,
+                             timesteps=(999, 400))
+    assert len(cal.amax) > 10, len(cal.amax)
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
+    assert "a_scale" in str(jax.tree_util.tree_structure(pipe.unet.params))
+    got = np.asarray(pipe(**kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.25, rel

@@ -160,12 +160,13 @@ def _flash_int8_kernel(
       outside as ``corr`` (one matvec per head) and added back here as
       a lane-broadcast — so centering costs no accuracy at all and the
       int8 range is spent on the signal, not the common mode;
-    - p is quantized against the BLOCK-LOCAL row max: p₂ = exp(s - m_cur)
-      peaks at exactly 1 in every block, and the dequant factor
-      β = exp(m_cur - m_next) is already computed for the online-softmax
-      carry — so full int8 range per block at zero extra VPU cost
-      (quantizing against the global running max instead underflows
-      blocks whose scores sit far below it);
+    - p is quantized against the BLOCK-LOCAL row max: p₂ = exp2(s - m_cur)
+      (scores arrive pre-scaled by log₂e, see LOG2E) peaks at exactly 1
+      in every block, and the dequant factor β = exp2(m_cur - m_next) is
+      already computed for the online-softmax carry — so full int8 range
+      per block at zero extra VPU cost (quantizing against the global
+      running max instead underflows blocks whose scores sit far below
+      it);
     - v is mean-centered and per-(batch·head) quantized; the mean is
       added back after normalization (Σp·v̄/l = v̄ exactly).
     """

@@ -33,36 +33,41 @@ single jitted transform (object identity would not survive tracing).
 
 import contextlib
 import dataclasses
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SINK: Optional[dict] = None  # {"mode": "sites"|"amax", "out": list}
+# THREAD-LOCAL sink: the hooks fire during tracing in whichever thread
+# traces, and a concurrent pipe.warmup(background=True) trace must not
+# pollute the site/amax association (shifted zip → wrong a_scale per
+# weight, silently).
+_TLS = threading.local()
 
 
 @contextlib.contextmanager
 def _sink(mode: str, out: List):
-    global _SINK
-    prev = _SINK
-    _SINK = {"mode": mode, "out": out}
+    prev = getattr(_TLS, "sink", None)
+    _TLS.sink = {"mode": mode, "out": out}
     try:
         yield out
     finally:
-        _SINK = prev
+        _TLS.sink = prev
 
 
 def record_site(p, x) -> None:
     """Hook called from layers.apply_linear/apply_conv (no-op unless a
-    calibration pass is active)."""
-    if _SINK is None:
+    calibration pass is active in THIS thread)."""
+    sink = getattr(_TLS, "sink", None)
+    if sink is None:
         return
-    if _SINK["mode"] == "sites":
+    if sink["mode"] == "sites":
         w = p.get("w", p.get("w_q8", p.get("w_q")))
-        _SINK["out"].append(id(w) if w is not None else None)
+        sink["out"].append(id(w) if w is not None else None)
     else:  # amax
-        _SINK["out"].append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        sink["out"].append(jnp.max(jnp.abs(x.astype(jnp.float32))))
 
 
 def _norm_key(k):
@@ -179,7 +184,11 @@ def calibrate_pipeline(
     if hasattr(pipe, "encode_prompt_xl"):
         # SDXL: dual-encoder context + required added conditioning
         # (text_embeds + time_ids), CFG batch mirrors __call__'s
-        # zero-embedding uncond branch
+        # zero-embedding uncond branch.  COUPLED to the default-args
+        # conditioning built in stable_diffusion_xl.py __call__
+        # (:250-274) — if that construction changes, update this or
+        # calibration measures a different activation distribution
+        # than production serves.
         cond, pooled_c = pipe.encode_prompt_xl(prompt_ids, prompt_ids)
         context = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
         pooled = jnp.concatenate([jnp.zeros_like(pooled_c), pooled_c], axis=0)

@@ -143,7 +143,8 @@ def quantize_conv_params(
     target key becomes int8 + per-out-channel scales; the forward runs
     full-int8 convs with dynamic per-tensor activation quantization
     (``ops.quant.conv2d_w8a8`` — 2× MXU rate on v5e), or static scales
-    when ``act_scales`` (calibrated over THIS tree) is given."""
+    when ``act_scales`` (path-keyed, from ``quant.calibrate``) is
+    given."""
     from sfast_tpu.ops.quant import quantize_conv_weight
 
     def rebuild(tree, path=()):

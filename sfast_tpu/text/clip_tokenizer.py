@@ -146,12 +146,27 @@ except ImportError:  # pragma: no cover
     )
 
 
+def _is_clip_vocab(vocab_path: str) -> bool:
+    """Cheap validation that a discovered vocab.json is actually CLIP's:
+    the hub cache holds vocab.json+merges.txt for MANY byte-level BPE
+    models (GPT-2, RoBERTa, BART) whose ids would silently index past
+    the 49,408-entry CLIP embedding table.  CLIP's vocab (and only
+    CLIP-family vocabs among the common ones) contains the
+    ``<|startoftext|>`` special token."""
+    try:
+        with open(vocab_path, encoding="utf-8", errors="ignore") as f:
+            return '"<|startoftext|>"' in f.read()
+    except OSError:
+        return False
+
+
 def _hf_hub_candidates() -> List[str]:
     """Tokenizer dirs inside the local HuggingFace hub cache
     (``models--*/snapshots/*/tokenizer``) — any machine that has ever
     downloaded an SD checkpoint has the CLIP vocab here.  CLIP-ViT text
-    towers share one vocabulary, so any hit tokenizes identically;
-    prefer stable-diffusion repos for determinism."""
+    towers share one vocabulary, so any CLIP hit tokenizes identically
+    (non-CLIP vocabs are rejected by ``_is_clip_vocab``); prefer
+    stable-diffusion repos for determinism."""
     base = os.environ.get(
         "HF_HOME", os.path.join(os.path.expanduser("~"), ".cache", "huggingface")
     )
@@ -174,36 +189,47 @@ def _hf_hub_candidates() -> List[str]:
     return out
 
 
+def _match(c: str, validate: bool = False) -> Optional[Tuple[str, str]]:
+    v = os.path.join(c, "vocab.json")
+    m = os.path.join(c, "merges.txt")
+    if os.path.isfile(v) and os.path.isfile(m):
+        if validate and not _is_clip_vocab(v):
+            return None
+        return v, m
+    g = c if c.endswith(".txt.gz") else os.path.join(c, "bpe_simple_vocab_16e6.txt.gz")
+    if os.path.isfile(g):
+        return g, g
+    return None
+
+
 def find_vocab_files(root: Optional[str] = None) -> Optional[Tuple[str, str]]:
     """Locate (vocab.json, merges.txt) under common layouts.
 
     Search order: ``root`` itself, ``root/tokenizer``, the
     ``SFAST_TPU_CLIP_VOCAB`` env var, the packaged
-    ``sfast_tpu/text/data`` drop-in directory, and finally any SD/CLIP
-    checkpoint in the local HuggingFace hub cache.  Returns None when
-    nothing is found (callers degrade to requiring pre-tokenized ids,
-    the pre-round-3 behavior).
+    ``sfast_tpu/text/data`` drop-in directory, and finally any CLIP
+    vocab in the local HuggingFace hub cache (validated — the hub holds
+    vocab.json for many non-CLIP BPE models, which would tokenize to
+    garbage ids).  Returns None when nothing is found (callers degrade
+    to requiring pre-tokenized ids, the pre-round-3 behavior).
     """
-    candidates: List[str] = []
+    explicit: List[str] = []
     if root:
-        candidates += [root, os.path.join(root, "tokenizer")]
+        explicit += [root, os.path.join(root, "tokenizer")]
     env = os.environ.get("SFAST_TPU_CLIP_VOCAB")
     if env:
-        candidates += [env, os.path.join(env, "tokenizer")]
-    candidates.append(os.path.join(os.path.dirname(__file__), "data"))
-    candidates += _hf_hub_candidates()
-    for c in candidates:
-        v = os.path.join(c, "vocab.json")
-        m = os.path.join(c, "merges.txt")
-        if os.path.isfile(v) and os.path.isfile(m):
-            return v, m
-        g = (
-            c
-            if c.endswith(".txt.gz")
-            else os.path.join(c, "bpe_simple_vocab_16e6.txt.gz")
-        )
-        if os.path.isfile(g):
-            return g, g
+        explicit += [env, os.path.join(env, "tokenizer")]
+    explicit.append(os.path.join(os.path.dirname(__file__), "data"))
+    for c in explicit:  # trusted locations: no content validation
+        hit = _match(c)
+        if hit:
+            return hit
+    # hub cache walked LAZILY (only when every explicit location missed)
+    # and content-validated per candidate
+    for c in _hf_hub_candidates():
+        hit = _match(c, validate=True)
+        if hit:
+            return hit
     return None
 
 

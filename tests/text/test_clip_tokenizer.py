@@ -166,6 +166,11 @@ def test_find_vocab_files(vocab_dir, tmp_path, monkeypatch):
     monkeypatch.delenv("SFAST_TPU_CLIP_VOCAB")
 
     # HF hub cache layout: hub/models--*/snapshots/<rev>/tokenizer/
+    import sfast_tpu.text.clip_tokenizer as ct
+
+    packaged = os.path.join(os.path.dirname(ct.__file__), "data")
+    if os.path.isfile(os.path.join(packaged, "vocab.json")):
+        pytest.skip("packaged text/data vocab present; hub path shadowed")
     hub = tmp_path / "hf" / "hub"
     snap = (
         hub
@@ -180,8 +185,25 @@ def test_find_vocab_files(vocab_dir, tmp_path, monkeypatch):
             open(os.path.join(vocab_dir, name), "rb").read()
         )
     monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    monkeypatch.delenv("HF_HUB_CACHE", raising=False)
+    # the synthetic test vocab is rejected by the CLIP-content check
+    # unless it carries the special token, which the fixture includes
     v, m = find_vocab_files(None)
-    assert "snapshots" in v and m.endswith("merges.txt")
+    assert v is not None and "snapshots" in v and m.endswith("merges.txt")
+
+    # a NON-CLIP vocab (no <|startoftext|>) in the hub must be rejected
+    gpt = (
+        hub / "models--gpt2" / "snapshots" / "r1"
+    )
+    gpt.mkdir(parents=True)
+    import json as _json
+
+    (gpt / "vocab.json").write_text(_json.dumps({"a": 0, "b": 1}))
+    (gpt / "merges.txt").write_text("#version: 0.2\na b\n")
+    import shutil
+
+    shutil.rmtree(hub / "models--runwayml--stable-diffusion-v1-5")
+    assert find_vocab_files(None) is None
 
 
 def test_pipeline_accepts_native_tokenizer(vocab_dir):

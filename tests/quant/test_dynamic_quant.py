@@ -375,3 +375,45 @@ def test_sdxl_calibrated_static_w8a8_end_to_end():
     assert np.isfinite(got).all()
     rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
     assert rel < 0.25, rel
+
+
+def test_calibration_isolated_from_concurrent_traces():
+    """The calibration sink is thread-local: tracing activity in another
+    thread (e.g. pipe.warmup(background=True)) must not pollute the
+    site/amax association."""
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.quant import calibrate_pipeline
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=DPMSolverMultistepScheduler(), dtype=jnp.float32,
+    )
+    sfast_tpu.compile(
+        pipe,
+        CompilationConfig.Default().replace(
+            enable_pallas=False, fuse_denoising_loop=True
+        ),
+    )
+    ids = jnp.ones((1, 77), jnp.int32)
+    # serial reference association
+    ref = calibrate_pipeline(pipe, ids, height=32, width=32, timesteps=(999,))
+    # same calibration with a live warmup trace in another thread
+    t = pipe.warmup(resolutions=((64, 64),), steps=(2,), background=True)
+    try:
+        cal = calibrate_pipeline(pipe, ids, height=32, width=32,
+                                 timesteps=(999,))
+    finally:
+        t.join(timeout=300)
+    assert not t.is_alive()
+    assert set(cal.amax) == set(ref.amax)
+    for k, v in ref.amax.items():
+        assert abs(cal.amax[k] - v) <= 1e-4 * max(abs(v), 1e-6), k

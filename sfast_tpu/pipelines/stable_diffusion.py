@@ -82,6 +82,28 @@ class StableDiffusionPipeline:
         self._fused_loops = {}
         self._sched_states = {}
         self._sched_obj = scheduler
+        self._dev_scalars = {}
+
+    def _dev_scalar(self, v) -> jax.Array:
+        """Device-resident f32 scalar, cached by value.  ``jnp.float32(v)``
+        inside ``__call__`` materializes a fresh device buffer on every
+        invocation — on a tunneled device each buffer creation is a host
+        round trip inside the timed region (guidance scale alone recurs
+        every call with the same value)."""
+        a = self._dev_scalars.get(v)
+        if a is None:
+            a = jnp.float32(v)
+            self._dev_scalars[v] = a
+        return a
+
+    def _dev_const(self, key, build) -> jax.Array:
+        """Cached device array for per-call constants (e.g. SDXL
+        ``time_ids``) — same round-trip economics as ``_dev_scalar``."""
+        a = self._dev_scalars.get(key)
+        if a is None:
+            a = build()
+            self._dev_scalars[key] = a
+        return a
 
     # -- compile() integration -------------------------------------------
     def set_compilation_config(self, ccfg: CompilationConfig):
@@ -571,14 +593,14 @@ class StableDiffusionPipeline:
             state = self.scheduler.prepare_state(state, latents)
 
         ctrl = None
-        ctrl_scale = jnp.float32(controlnet_conditioning_scale)
+        ctrl_scale = self._dev_scalar(controlnet_conditioning_scale)
         if control_image is not None:
             if self.controlnet is None:
                 raise ValueError("pipeline has no controlnet model")
             ctrl = preprocess_control_image(control_image, self.dtype)
             ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
 
-        gs = jnp.float32(guidance_scale)
+        gs = self._dev_scalar(guidance_scale)
         use_fused = (
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
@@ -657,7 +679,7 @@ class StableDiffusionPipeline:
             latents = fused(
                 params, cn_params, latents, context, state, gs, sub,
                 ctrl, ctrl_scale,
-                ip_adapter_embeds, jnp.float32(ip_adapter_scale),
+                ip_adapter_embeds, self._dev_scalar(ip_adapter_scale),
             )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)

@@ -42,6 +42,22 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         self.text_encoder_2 = text_encoder_2
         self.tokenizer_2 = tokenizer_2
 
+    def _time_ids(self, original_size, crops, target_size, b) -> jax.Array:
+        """SDXL micro-conditioning ids, cached on device by value (fresh
+        ``jnp.asarray``+``tile`` per call is two buffer round trips inside
+        the timed region on a tunneled device)."""
+        return self._dev_const(
+            ("time_ids", tuple(original_size), tuple(crops),
+             tuple(target_size), b),
+            lambda: jnp.tile(
+                jnp.asarray(
+                    [list(original_size) + list(crops) + list(target_size)],
+                    jnp.float32,
+                ),
+                (2 * b, 1),
+            ),
+        )
+
     def encode_prompt_xl(self, prompt_ids, prompt_ids_2, negative=False):
         out1 = self.text_encoder(prompt_ids, output_hidden_states=True)
         out2 = self.text_encoder_2(prompt_ids_2, output_hidden_states=True)
@@ -266,11 +282,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         original_size = original_size or (height, width)
         target_size = target_size or (height, width)
-        time_ids = jnp.asarray(
-            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
-            jnp.float32,
+        time_ids = self._time_ids(
+            original_size, crops_coords_top_left, target_size, b
         )
-        time_ids = jnp.tile(time_ids, (2 * b, 1))
         added = {"text_embeds": pooled, "time_ids": time_ids}
 
         vae_cfg = self.vae_config
@@ -289,7 +303,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if hasattr(self.scheduler, "prepare_state"):
             state = self.scheduler.prepare_state(state, latents)
 
-        gs = jnp.float32(guidance_scale)
+        gs = self._dev_scalar(guidance_scale)
         use_fused = (
             self._ccfg.fuse_denoising_loop and callback_on_step_end is None
         )
@@ -366,11 +380,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         original_size = original_size or (height, width)
         target_size = target_size or (height, width)
-        time_ids = jnp.asarray(
-            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
-            jnp.float32,
+        time_ids = self._time_ids(
+            original_size, crops_coords_top_left, target_size, b
         )
-        time_ids = jnp.tile(time_ids, (2 * b, 1))
 
         state = self._scheduler_state(num_inference_steps)
         vae_cfg = self.vae_config
@@ -398,7 +410,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             negative_prompt_ids,
             negative_prompt_ids_2,
             state,
-            jnp.float32(guidance_scale),
+            self._dev_scalar(guidance_scale),
             np.asarray([seed], np.uint32),
             time_ids,
         )

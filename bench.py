@@ -84,6 +84,7 @@ def build_pipeline():
 def main():
     t_build = time.time()
     pipe = build_pipeline()
+    build_s = time.time() - t_build  # model/pipeline build only (no compile)
     prompt_ids = jax.random.randint(
         jax.random.key(1), (1, 77), 0, 49408, dtype=jnp.int32
     )
@@ -148,9 +149,12 @@ def main():
                     "quantized": "w8a8-static" if W8A8 else "bf16",
                     "all_runs_ms": [round(t, 1) for t in times],
                     "warmup_incl_compile_s": round(compile_s, 1),
-                    "build_s": round(t_build and time.time() - t_build, 1),
+                    "build_s": round(build_s, 1),
+                    # fit inputs for unet_its_per_s, auditable:
+                    # step_ms = (e2e_ms - half_steps_e2e_ms) / 25
                     "unet_its_per_s": round(unet_its, 2),
                     "half_steps_e2e_ms": round(half_ms, 1),
+                    "half_all_runs_ms": [round(t, 1) for t in half_times],
                     "device": str(jax.devices()[0]),
                 }
             }

@@ -72,8 +72,11 @@ def main():
 
     dispatch_only_ms = med(dispatch_only, 5)
 
-    out = dispatch_only()
-    fetch_ms = med(lambda: np.asarray(out), 5)  # payload-only D2H, data ready
+    # payload-only D2H with data ready: jax.Array caches its host copy
+    # after the first np.asarray, so each iteration needs a FRESH device
+    # output (timing the same array 5x would time the real transfer once
+    # and 4 cached ~0 ms reads — ADVICE r3)
+    fetch_ms = med(lambda: np.asarray(dispatch_only()), 5) - dispatch_only_ms
 
     print(json.dumps({
         "steps": STEPS,

@@ -89,7 +89,15 @@ class StableDiffusionPipeline:
         inside ``__call__`` materializes a fresh device buffer on every
         invocation — on a tunneled device each buffer creation is a host
         round trip inside the timed region (guidance scale alone recurs
-        every call with the same value)."""
+        every call with the same value).
+
+        ``float(v)`` first: 0-d numpy/jax arrays are unhashable as dict
+        keys, and normalizing collapses int/float/np.float32 duplicates
+        of the same value into one cached buffer.  The cache is unbounded
+        by design — entries are 4-byte scalars (plus small ``_dev_const``
+        tensors) and distinct values number in the dozens even across
+        parameter sweeps."""
+        v = float(v)
         a = self._dev_scalars.get(v)
         if a is None:
             a = jnp.float32(v)

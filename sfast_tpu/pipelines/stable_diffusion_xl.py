@@ -42,6 +42,58 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         self.text_encoder_2 = text_encoder_2
         self.tokenizer_2 = tokenizer_2
 
+    def _ids_for_encoder_2(self, prompt, prompt_ids) -> jnp.ndarray:
+        """Token ids for text encoder 2 (OpenCLIP ViT-bigG).
+
+        diffusers' SDXL ``tokenizer_2`` shares vocab+merges with
+        ``tokenizer`` and differs ONLY in its pad token: ``"!"`` (id 0)
+        instead of EOS (``/root/reference`` inherits this via diffusers;
+        the reference compiler passes pipelines through untouched,
+        ``diffusion_pipeline_compiler.py:98-100``).  So for any prompt the
+        two encodings are identical up to and including the first EOS,
+        and differ only in the padding tail.
+
+        For string prompts we tokenize with the real ``tokenizer_2``
+        (auto-derived from ``tokenizer`` via ``with_pad_token("!")`` when
+        not explicitly attached) — exact, including transformers' quirk
+        that the added pad token splits out of content text ("hey!!!" →
+        three pad ids).  For pre-tokenized ``prompt_ids`` we convert by
+        replacing everything after the first EOS with pad id 0, which is
+        exact for any prompt not containing the literal pad character."""
+        if prompt is not None and self.tokenizer_2 is None and (
+            self.tokenizer is not None and hasattr(self.tokenizer, "with_pad_token")
+        ):
+            try:
+                self.tokenizer_2 = self.tokenizer.with_pad_token("!")
+            except KeyError:  # vocab without "!" (synthetic test vocabs)
+                pass
+        if prompt is not None and self.tokenizer_2 is not None:
+            if isinstance(prompt, str):
+                prompt = [prompt]
+            enc = self.tokenizer_2(
+                prompt,
+                padding="max_length",
+                max_length=self.tokenizer_2.model_max_length,
+                truncation=True,
+                return_tensors="np",
+            )
+            return jnp.asarray(enc.input_ids, jnp.int32)
+        te2 = self.text_encoder_2
+        tcfg = te2.model.config if hasattr(te2, "model") else te2.config
+        eos = getattr(tcfg, "eos_token_id", 49407)
+        pad2 = (
+            self.tokenizer_2.pad_token_id if self.tokenizer_2 is not None else 0
+        )
+        ids = np.asarray(prompt_ids)
+        is_eos = ids == eos
+        has_eos = is_eos.any(axis=-1)
+        first_eos = np.argmax(is_eos, axis=-1)
+        # keep the first EOS, pad strictly after it; rows with no EOS
+        # (fully-truncated prompts) are left untouched
+        after = np.arange(ids.shape[-1])[None, :] > first_eos[:, None]
+        out = np.where(after & has_eos[:, None], pad2, ids)
+        return jnp.asarray(out, jnp.int32)
+
     def _time_ids(self, original_size, crops, target_size, b) -> jax.Array:
         """SDXL micro-conditioning ids, cached on device by value (fresh
         ``jnp.asarray``+``tile`` per call is two buffer round trips inside
@@ -241,7 +293,11 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if prompt_ids is None:
             prompt_ids = self.tokenize(prompt)
         if prompt_ids_2 is None:
-            prompt_ids_2 = prompt_ids
+            prompt_ids_2 = self._ids_for_encoder_2(prompt, prompt_ids)
+        if negative_prompt_ids is not None and negative_prompt_ids_2 is None:
+            negative_prompt_ids_2 = self._ids_for_encoder_2(
+                None, negative_prompt_ids
+            )
         b = prompt_ids.shape[0]
 
         use_full = (

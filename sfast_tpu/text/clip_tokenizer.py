@@ -252,6 +252,7 @@ class CLIPTokenizer:
         *,
         bos_token: str = "<|startoftext|>",
         eos_token: str = "<|endoftext|>",
+        pad_token: Optional[str] = None,
         model_max_length: int = 77,
     ):
         self.encoder = dict(vocab)
@@ -263,8 +264,19 @@ class CLIPTokenizer:
         self.eos_token = eos_token
         self.bos_token_id = self.encoder[bos_token]
         self.eos_token_id = self.encoder[eos_token]
-        # CLIP pads with the EOS token (HF CLIPTokenizer.pad_token = eos)
-        self.pad_token_id = self.eos_token_id
+        # CLIP pads with the EOS token (HF CLIPTokenizer.pad_token = eos);
+        # SDXL's tokenizer_2 overrides pad_token to "!" (id 0) — pass
+        # pad_token="!" to reproduce OpenCLIP padding.  transformers
+        # registers a non-default pad token as an ADDED special token,
+        # which splits out of content text before BPE ("hey!!!" →
+        # [..hey.., 0, 0, 0], not [.., 0, 0, id("!</w>")]); _split_pad
+        # replicates that so ids stay bit-exact to HF's tokenizer_2.
+        self._split_pad: Optional[Tuple[str, int]] = None
+        if pad_token is not None and pad_token not in (bos_token, eos_token):
+            self.pad_token_id = self.encoder[pad_token]
+            self._split_pad = (pad_token, self.pad_token_id)
+        else:
+            self.pad_token_id = self.eos_token_id
         self.model_max_length = model_max_length
         self._cache: Dict[str, str] = {
             bos_token: bos_token,
@@ -368,8 +380,33 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    def with_pad_token(self, pad_token: str) -> "CLIPTokenizer":
+        """Clone sharing vocab/merges but padding (and content-splitting)
+        on ``pad_token`` — how SDXL's ``tokenizer_2`` relates to
+        ``tokenizer`` (same files, different pad config)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.pad_token_id = self.encoder[pad_token]
+        clone._split_pad = (pad_token, clone.pad_token_id)
+        clone._cache = dict(self._cache)
+        return clone
+
     def encode(self, text: str) -> List[int]:
-        """Text → BPE ids (no specials)."""
+        """Text → BPE ids (no specials appended; the added pad token, if
+        configured, splits out of raw text first, matching transformers)."""
+        split = getattr(self, "_split_pad", None)
+        if split is not None:
+            tok, tid = split
+            ids: List[int] = []
+            for i, part in enumerate(text.split(tok)):
+                if i:
+                    ids.append(tid)
+                ids.extend(self._encode_chunk(part))
+            return ids
+        return self._encode_chunk(text)
+
+    def _encode_chunk(self, text: str) -> List[int]:
         ids: List[int] = []
         text = _whitespace_clean(_basic_normalize(text))
         for token in _PAT.findall(text):

@@ -82,6 +82,11 @@ def build_pipeline():
 
 
 def main():
+    # build the native _C dispatch extension so the measured path is the
+    # C signature hashing, not the Python fallback (VERDICT r3 weak #9)
+    from sfast_tpu.runtime.native_build import ensure_native
+
+    native_sig = ensure_native()
     t_build = time.time()
     pipe = build_pipeline()
     build_s = time.time() - t_build  # model/pipeline build only (no compile)
@@ -155,6 +160,7 @@ def main():
                     "unet_its_per_s": round(unet_its, 2),
                     "half_steps_e2e_ms": round(half_ms, 1),
                     "half_all_runs_ms": [round(t, 1) for t in half_times],
+                    "native_sig": native_sig,
                     "device": str(jax.devices()[0]),
                 }
             }

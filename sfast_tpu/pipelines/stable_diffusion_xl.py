@@ -282,6 +282,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         guidance_scale: float = 5.0,
         seed: int = 0,
         latents: Optional[jnp.ndarray] = None,
+        image=None,
+        strength: float = 0.8,
         original_size=None,
         crops_coords_top_left=(0, 0),
         target_size=None,
@@ -304,6 +306,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
             and latents is None
+            and image is None
             and output_type in ("np", "pil")
         )
         if use_full:
@@ -347,7 +350,39 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         sf = self.vae_scale_factor
         state = self._scheduler_state(num_inference_steps)
         key = jax.random.key(seed)
-        if latents is None:
+        start_index = 0
+        if image is not None:
+            # img2img: encode, then forward-noise to the strength point —
+            # same path as the base pipeline (stable_diffusion.py) with
+            # SDXL micro-conditioning already carried in `added`
+            # (≙ reference compiling diffusers' XL img2img transparently,
+            # diffusion_pipeline_compiler.py:81-124)
+            if self.vae_encode is None:
+                raise ValueError("pipeline has no vae_encode model for img2img")
+            from sfast_tpu.schedulers.common import add_noise
+            from sfast_tpu.utils.image import preprocess_image
+
+            img = preprocess_image(image, self.dtype)
+            key, k_enc, k_noise = jax.random.split(key, 3)
+            mean, logvar = self.vae_encode(img)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_enc, mean.shape, dtype=jnp.float32
+            ).astype(mean.dtype)
+            z = z * vae_cfg.scaling_factor
+            start_index = max(
+                num_inference_steps - int(num_inference_steps * strength), 0
+            )
+            noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+            if hasattr(self.scheduler, "add_noise"):
+                latents = self.scheduler.add_noise(
+                    state, z.astype(jnp.float32), noise, start_index
+                )
+            else:
+                latents = add_noise(
+                    state, z.astype(jnp.float32), noise, start_index
+                )
+            latents = latents.astype(self.dtype)
+        elif latents is None:
             key, sub = jax.random.split(key)
             latents = jax.random.normal(
                 sub,
@@ -361,7 +396,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         gs = self._dev_scalar(guidance_scale)
         use_fused = (
-            self._ccfg.fuse_denoising_loop and callback_on_step_end is None
+            self._ccfg.fuse_denoising_loop
+            and callback_on_step_end is None
+            and start_index == 0
         )
         if use_fused:
             lkey = ("xl", num_inference_steps)
@@ -384,7 +421,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                 added["text_embeds"], added["time_ids"],
             )
         else:
-            for i in range(num_inference_steps):
+            needs_noise = getattr(self.scheduler, "needs_noise", False)
+            for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
                 lat_in = jnp.concatenate([latents, latents], axis=0)
                 lat_in = self.scheduler.scale_model_input(state, lat_in, i)
@@ -392,7 +430,16 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                 eps = self.unet(lat_in, tt, context, added_cond_kwargs=added)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + gs * (eps_c - eps_u)
-                latents, state = self.scheduler.step(state, eps, i, latents)
+                if needs_noise:
+                    key, sub = jax.random.split(key)
+                    step_noise = jax.random.normal(
+                        sub, latents.shape, jnp.float32
+                    )
+                    latents, state = self.scheduler.step(
+                        state, eps, i, latents, noise=step_noise
+                    )
+                else:
+                    latents, state = self.scheduler.step(state, eps, i, latents)
                 if callback_on_step_end is not None:
                     callback_on_step_end(self, i, t, {"latents": latents})
 

@@ -27,6 +27,7 @@ args/kwargs structures are natively supported by ``jax.jit``.
 """
 
 import logging
+import os
 import threading
 import weakref
 from functools import partial
@@ -37,6 +38,36 @@ import jax
 from sfast_tpu.runtime.signature import arg_signature, call_signature
 
 logger = logging.getLogger(__name__)
+
+_COMPILER_OPTS = None
+
+
+def tpu_compiler_options():
+    """Backend compiler options applied to every AOT compile on TPU.
+
+    ``xla_tpu_enable_deduplicated_calls`` makes the TPU backend emit one
+    code body for repeated identical computations instead of one per call
+    site.  Measured on the SD1.5 UNet (v5e, 2026-08-18): generated code
+    255.1 → 102.9 MB (−60%) with eval time unchanged-to-better (58.2 →
+    55.8 ms med).  Smaller binaries are the whole warm-start story on a
+    tunneled device: both restore paths upload the serialized executable
+    at ~22 MB/s (see runtime/exec_cache.py).  CPU (the test backend)
+    rejects TPU-only options, hence the platform gate; resolved lazily
+    and cached because ``jax.devices()`` initializes the backend.
+    """
+    global _COMPILER_OPTS
+    if _COMPILER_OPTS is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "unknown"
+        if platform in ("tpu", "axon") and (
+            os.environ.get("SFAST_TPU_DEDUP_CALLS", "1") == "1"
+        ):
+            _COMPILER_OPTS = {"xla_tpu_enable_deduplicated_calls": "true"}
+        else:
+            _COMPILER_OPTS = {}
+    return _COMPILER_OPTS or None
 
 
 class _SignatureMemo:
@@ -198,7 +229,9 @@ class LazyCompiledFunction:
                             len(self._cache),
                         )
                         lowered = self._jitted.lower(*args, **kwargs)
-                        exe = lowered.compile()
+                        exe = lowered.compile(
+                            compiler_options=tpu_compiler_options()
+                        )
                         # persist off-thread; first dispatch shouldn't wait
                         # on serialization of a multi-GB-HLO executable
                         threading.Thread(

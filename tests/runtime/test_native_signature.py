@@ -8,7 +8,20 @@ import pytest
 
 from sfast_tpu.runtime import signature as S
 
-_C = pytest.importorskip("sfast_tpu._C")
+try:
+    from sfast_tpu import _C
+except ImportError:  # conftest's ensure_native() failed to build
+    _C = None
+
+if _C is None:
+    import os
+
+    if os.environ.get("SFAST_TPU_REQUIRE_NATIVE", "0") == "1":
+        pytest.fail(
+            "SFAST_TPU_REQUIRE_NATIVE=1 but sfast_tpu._C is not importable "
+            "and the in-place build failed"
+        )
+    pytest.skip("sfast_tpu._C not built", allow_module_level=True)
 
 
 CASES = [

@@ -68,6 +68,21 @@ def main():
         )
         return time.time() - t0, out
 
+    if os.environ.get("SVD_TRACKED", "0") == "1":
+        # tracked-config mode (VERDICT r2 task #8 / r3 next-step #4): ONE
+        # real clip at the requested step count, timed post-warmup, as a
+        # single JSON line — no two-point fit, no estimates
+        import json
+
+        t_clip, out = timed(STEPS, 1)
+        print(json.dumps({
+            "metric": f"svd_xt_{FRAMES}f_{H}x{W}_{STEPS}step_e2e_s",
+            "value": round(t_clip, 1),
+            "unit": "s",
+            "frames_shape": list(out.images.shape),
+        }), flush=True)
+        return
+
     t_lo, out = timed(STEPS, 1)
     # second step count separates per-step UNet cost from the fixed
     # decode/encode/transfer cost (two-point fit; the naive dt/STEPS

@@ -48,12 +48,17 @@ def tpu_compiler_options():
     ``xla_tpu_enable_deduplicated_calls`` makes the TPU backend emit one
     code body for repeated identical computations instead of one per call
     site.  Measured on the SD1.5 UNet (v5e, 2026-08-18): generated code
-    255.1 → 102.9 MB (−60%) with eval time unchanged-to-better (58.2 →
-    55.8 ms med).  Smaller binaries are the whole warm-start story on a
-    tunneled device: both restore paths upload the serialized executable
-    at ~22 MB/s (see runtime/exec_cache.py).  CPU (the test backend)
-    rejects TPU-only options, hence the platform gate; resolved lazily
-    and cached because ``jax.devices()`` initializes the backend.
+    255.1 → 102.9 MB (−60%), fused-pipeline serialized size 374 → 177 MB
+    — and the isolated eval is unchanged-to-better (58.2 → 55.8 ms med),
+    BUT the 50-step fused loop is ~40 ms/image SLOWER end-to-end
+    (1139.4 vs 1096.6 ms, adjacent same-session bench.py A/B) — the
+    shared code bodies cost more inside the hot loop than they save.
+    Default therefore OFF; opt in with SFAST_TPU_DEDUP_CALLS=1 when
+    process warm-start time (binary upload through a ~22 MB/s tunnel,
+    see runtime/exec_cache.py) matters more than ~4% latency.  CPU (the
+    test backend) rejects TPU-only options, hence the platform gate;
+    resolved lazily and cached because ``jax.devices()`` initializes the
+    backend.
     """
     global _COMPILER_OPTS
     if _COMPILER_OPTS is None:
@@ -62,7 +67,7 @@ def tpu_compiler_options():
         except Exception:
             platform = "unknown"
         if platform in ("tpu", "axon") and (
-            os.environ.get("SFAST_TPU_DEDUP_CALLS", "1") == "1"
+            os.environ.get("SFAST_TPU_DEDUP_CALLS", "0") == "1"
         ):
             _COMPILER_OPTS = {"xla_tpu_enable_deduplicated_calls": "true"}
         else:

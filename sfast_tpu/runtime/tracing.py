@@ -66,12 +66,18 @@ def tpu_compiler_options():
             platform = jax.devices()[0].platform
         except Exception:
             platform = "unknown"
-        if platform in ("tpu", "axon") and (
-            os.environ.get("SFAST_TPU_DEDUP_CALLS", "0") == "1"
-        ):
-            _COMPILER_OPTS = {"xla_tpu_enable_deduplicated_calls": "true"}
-        else:
-            _COMPILER_OPTS = {}
+        opts = {}
+        if platform in ("tpu", "axon"):
+            if os.environ.get("SFAST_TPU_DEDUP_CALLS", "0") == "1":
+                opts["xla_tpu_enable_deduplicated_calls"] = "true"
+            # extra backend options, e.g. for option sweeps:
+            #   SFAST_TPU_XLA_OPTS="xla_allow_excess_precision=false,..."
+            extra = os.environ.get("SFAST_TPU_XLA_OPTS", "")
+            for kv in extra.split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    opts[k.strip()] = v.strip()
+        _COMPILER_OPTS = opts
     return _COMPILER_OPTS or None
 
 

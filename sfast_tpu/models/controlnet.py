@@ -105,6 +105,27 @@ def init_controlnet_params(rng, cfg: ControlNetConfig):
     return p
 
 
+def controlnet_cond_embed(
+    cfg: ControlNetConfig, params, controlnet_cond: jax.Array
+) -> jax.Array:
+    """Control-image → latent-resolution hint features (pixel-res conv
+    stack with stride-2 downsamples).  Pure in the control image: safe to
+    hoist out of the denoising loop."""
+    ucfg = cfg.unet
+    ce = params["controlnet_cond_embedding"]
+    c = conv2d(
+        controlnet_cond.astype(ucfg.dtype), ce["conv_in"]["w"], ce["conv_in"]["b"],
+        padding=1, act="silu",
+    )
+    for i in range(0, len(ce["blocks"]), 2):
+        c = conv2d(c, ce["blocks"][i]["w"], ce["blocks"][i]["b"], padding=1, act="silu")
+        c = conv2d(
+            c, ce["blocks"][i + 1]["w"], ce["blocks"][i + 1]["b"],
+            padding=1, stride=2, act="silu",
+        )
+    return conv2d(c, ce["conv_out"]["w"], ce["conv_out"]["b"], padding=1)
+
+
 def controlnet_fwd(
     cfg: ControlNetConfig,
     ccfg: CompilationConfig,
@@ -116,9 +137,12 @@ def controlnet_fwd(
     *,
     conditioning_scale: float = 1.0,
     added_cond_kwargs: Optional[dict] = None,
+    cond_embed: Optional[jax.Array] = None,
 ):
     """sample: (B,h,w,4) latents; controlnet_cond: (B, H, W, 3) control
-    image in [0,1] at pixel resolution.  Returns (down_residuals, mid)."""
+    image in [0,1] at pixel resolution (or ``cond_embed``: its
+    precomputed latent-resolution embedding).  Returns
+    (down_residuals, mid)."""
     ucfg = cfg.unet
     be = _backends(ccfg)
     groups = ucfg.norm_num_groups
@@ -143,19 +167,16 @@ def controlnet_fwd(
 
     context = encoder_hidden_states.astype(ucfg.dtype)
 
-    # control-image embedding (pixel → latent resolution via stride-2 convs)
-    ce = params["controlnet_cond_embedding"]
-    c = conv2d(
-        controlnet_cond.astype(ucfg.dtype), ce["conv_in"]["w"], ce["conv_in"]["b"],
-        padding=1, act="silu",
-    )
-    for i in range(0, len(ce["blocks"]), 2):
-        c = conv2d(c, ce["blocks"][i]["w"], ce["blocks"][i]["b"], padding=1, act="silu")
-        c = conv2d(
-            c, ce["blocks"][i + 1]["w"], ce["blocks"][i + 1]["b"],
-            padding=1, stride=2, act="silu",
-        )
-    c = conv2d(c, ce["conv_out"]["w"], ce["conv_out"]["b"], padding=1)
+    # control-image embedding: the conv stack runs at PIXEL resolution
+    # (512² for SD1.5) on a loop-invariant input — callers that evaluate
+    # the ControlNet once per denoising step (the fused loop,
+    # pipelines/stable_diffusion.py) precompute it ONCE per call and pass
+    # ``cond_embed``; diffusers (and the reference wrapping it,
+    # controlnet flow per SURVEY.md §3.4) recompute it every step
+    if cond_embed is not None:
+        c = cond_embed.astype(ucfg.dtype)
+    else:
+        c = controlnet_cond_embed(cfg, params, controlnet_cond)
 
     h = conv2d(
         sample.astype(ucfg.dtype), params["conv_in"]["w"], params["conv_in"]["b"],

@@ -327,6 +327,11 @@ class StableDiffusionPipeline:
         scheduler = self.scheduler
         needs_noise = getattr(scheduler, "needs_noise", False)
 
+        cn_cfg = None
+        if with_control:
+            cn = self.controlnet
+            cn_cfg = (cn.model if isinstance(cn, CompiledModel) else cn).config
+
         def loop(
             params,
             cn_params,
@@ -343,6 +348,13 @@ class StableDiffusionPipeline:
             params = maybe_unpack(params)  # hoist out of the loop body
             if with_control:
                 cn_params_u = maybe_unpack(cn_params)
+                # hint-embedding conv stack runs at PIXEL resolution on
+                # the loop-invariant control image — compute ONCE per
+                # call, not once per step (diffusers/the reference pay it
+                # every step; 50-step loop = 50x the full-res convs)
+                from sfast_tpu.models.controlnet import controlnet_cond_embed
+
+                ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl)
 
             def body(i, carry):
                 lat, st, key = carry
@@ -358,6 +370,7 @@ class StableDiffusionPipeline:
                     down_res, mid_res = cn_apply(
                         cn_params_u, lat_in, tt, context, ctrl,
                         conditioning_scale=cn_scale,
+                        cond_embed=ctrl_embed,
                     )
                     kwargs.update(
                         down_block_additional_residuals=down_res,

@@ -105,3 +105,49 @@ def test_sd15_controlnet_param_count():
     params = init_controlnet_params(0, SD15_CONTROLNET)
     n = sum(int(np.prod(np.shape(l))) for l in jax.tree_util.tree_leaves(params))
     assert n == 361_279_120, n
+
+
+def test_fused_loop_matches_stepwise_with_control():
+    """The fused loop hoists the control-image hint embedding out of the
+    denoising loop (computed once per call); the stepwise path computes
+    it per step inside controlnet_fwd.  Both must produce identical
+    latents — with NONZERO output projections so the control branch
+    actually contributes."""
+
+    def build(fuse):
+        dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+        cn = create_controlnet(TINY_CN, jax.random.key(3))
+        # perturb the zero-init output convs so control residuals matter
+        p = jax.tree_util.tree_map(lambda x: x, cn.params)
+        for zc in list(p["controlnet_down_blocks"]) + [p["controlnet_mid_block"]]:
+            zc["w"] = jnp.ones_like(zc["w"]) * 0.05
+        cn.params = p
+        pipe = StableDiffusionPipeline(
+            unet=create_unet(TINY_CN.unet, jax.random.key(1)),
+            vae=dec,
+            vae_encode=enc,
+            text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+            controlnet=cn,
+            scheduler=DDIMScheduler(),
+            dtype=jnp.float32,
+        )
+        sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=fuse))
+        return pipe
+
+    ids = jnp.ones((1, 77), jnp.int32)
+    cond = np.random.RandomState(0).randint(0, 255, (1, 32, 32, 3), np.uint8)
+    kw = dict(
+        prompt_ids=ids, height=32, width=32, num_inference_steps=3, seed=0,
+        control_image=cond, output_type="latent",
+    )
+    lat_fused = np.asarray(build(True)(**kw).images)
+    lat_step = np.asarray(build(False)(**kw).images)
+    # control must contribute (vs no control image at all)
+    lat_nc = np.asarray(
+        build(True)(
+            prompt_ids=ids, height=32, width=32, num_inference_steps=3,
+            seed=0, output_type="latent",
+        ).images
+    )
+    assert np.abs(lat_fused - lat_nc).max() > 0
+    np.testing.assert_allclose(lat_fused, lat_step, rtol=2e-4, atol=2e-4)

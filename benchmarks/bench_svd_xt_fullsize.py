@@ -44,7 +44,10 @@ def main():
         vae_encode=enc,
         image_encoder=create_image_encoder(VIT_H_IMAGE_ENCODER),
     )
-    sfast_tpu.compile(pipe, CompilationConfig.Default())
+    fuse = os.environ.get("SVD_FUSE", "1") == "1"
+    sfast_tpu.compile(
+        pipe, CompilationConfig.Default().replace(fuse_denoising_loop=fuse)
+    )
     print(f"build {time.time()-t0:.0f}s", flush=True)
 
     import numpy as np

@@ -60,14 +60,54 @@ class StableVideoDiffusionPipeline:
         self._ccfg = CompilationConfig.Default()
         self._sched_states = {}
         self._sched_obj = self.scheduler
+        self._fused_loops = {}
 
     def set_compilation_config(self, ccfg):
         self._ccfg = ccfg
+        self._fused_loops = {}
 
     def _sched_guard(self):
         if self._sched_obj is not self.scheduler:
             self._sched_states = {}
+            self._fused_loops = {}
             self._sched_obj = self.scheduler
+
+    def _build_fused_loop(self, num_steps: int):
+        """The whole SVD denoise loop as ONE executable (lax.fori_loop):
+        conditioning latents, context, guidance ramp and micro-ids are
+        loop-invariant; per-step host dispatch (a tunnel round trip each)
+        disappears — the same fusion the SD/SDXL pipelines apply."""
+        from sfast_tpu.runtime.packed_params import maybe_unpack
+        from sfast_tpu.runtime.tracing import LazyCompiledFunction
+
+        unet_model = (
+            self.unet.model if isinstance(self.unet, CompiledModel) else self.unet
+        )
+        unet_apply = unet_model.apply_fn(self._ccfg)
+        scheduler = self.scheduler
+
+        def loop(params, latents, cond_latents, context, add_ids, g, state):
+            params_u = maybe_unpack(params)
+
+            def body(i, carry):
+                lat, st = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = scheduler.scale_model_input(st, lat_in, i)
+                lat_in = jnp.concatenate(
+                    [lat_in, cond_latents.astype(lat_in.dtype)], axis=-1
+                )
+                t = st["timesteps"][i]
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                out = unet_apply(params_u, lat_in, tt, context, add_ids)
+                out_u, out_c = jnp.split(out, 2, axis=0)
+                model_out = out_u + g * (out_c - out_u)
+                lat, st = scheduler.step(st, model_out, i, lat)
+                return (lat, st)
+
+            lat, _ = jax.lax.fori_loop(0, num_steps, body, (latents, state))
+            return lat
+
+        return LazyCompiledFunction(loop, name=f"svd_denoise_loop_{num_steps}")
 
     def _scheduler_state(self, num_steps: int):
         """Cached device-resident scheduler state (read-only downstream;
@@ -171,18 +211,28 @@ class StableVideoDiffusionPipeline:
             min_guidance_scale, max_guidance_scale, num_frames, dtype=jnp.float32
         )[None, :, None, None, None]
 
-        for i in range(num_inference_steps):
-            t = state["timesteps"][i]
-            lat_in = jnp.concatenate([latents, latents], axis=0)
-            lat_in = self.scheduler.scale_model_input(state, lat_in, i)
-            lat_in = jnp.concatenate(
-                [lat_in, cond_latents.astype(lat_in.dtype)], axis=-1
+        if self._ccfg.fuse_denoising_loop:
+            fused = self._fused_loops.get(num_inference_steps)
+            if fused is None:
+                fused = self._build_fused_loop(num_inference_steps)
+                self._fused_loops[num_inference_steps] = fused
+            latents = fused(
+                self.unet.params, latents, cond_latents, context, add_ids,
+                g, state,
             )
-            tt = jnp.broadcast_to(t, (2 * b,))
-            out = self.unet(lat_in, tt, context, add_ids)
-            out_u, out_c = jnp.split(out, 2, axis=0)
-            model_out = out_u + g * (out_c - out_u)
-            latents, state = self.scheduler.step(state, model_out, i, latents)
+        else:
+            for i in range(num_inference_steps):
+                t = state["timesteps"][i]
+                lat_in = jnp.concatenate([latents, latents], axis=0)
+                lat_in = self.scheduler.scale_model_input(state, lat_in, i)
+                lat_in = jnp.concatenate(
+                    [lat_in, cond_latents.astype(lat_in.dtype)], axis=-1
+                )
+                tt = jnp.broadcast_to(t, (2 * b,))
+                out = self.unet(lat_in, tt, context, add_ids)
+                out_u, out_c = jnp.split(out, 2, axis=0)
+                model_out = out_u + g * (out_c - out_u)
+                latents, state = self.scheduler.step(state, model_out, i, latents)
 
         if output_type == "latent":
             return PipelineOutput(latents)

@@ -129,3 +129,26 @@ def test_svd_pipeline_latent_output_and_determinism(svd_pipe):
     b = svd_pipe(img, **kw).images
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.shape == (1, 4, 16, 16, 4)
+
+
+def test_svd_fused_loop_matches_stepwise(svd_pipe):
+    """fuse_denoising_loop compiles the whole SVD denoise loop into one
+    executable; latents must match the stepwise path exactly."""
+    import numpy as np
+    import sfast_tpu
+    from sfast_tpu.config import CompilationConfig
+
+    kw = dict(
+        num_frames=3, height=32, width=32, num_inference_steps=3,
+        decode_chunk_size=2, seed=0, output_type="latent",
+    )
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    lat_step = np.asarray(svd_pipe(img, **kw).images)
+    svd_pipe.set_compilation_config(
+        svd_pipe._ccfg.replace(fuse_denoising_loop=True)
+    )
+    lat_fused = np.asarray(svd_pipe(img, **kw).images)
+    svd_pipe.set_compilation_config(
+        svd_pipe._ccfg.replace(fuse_denoising_loop=False)
+    )
+    np.testing.assert_allclose(lat_step, lat_fused, rtol=2e-4, atol=2e-4)

@@ -32,6 +32,7 @@ from sfast_tpu.schedulers.common import add_noise
 from sfast_tpu.utils.image import (
     denormalize_to_uint8,
     preprocess_control_image,
+    preprocess_control_image_u8,
     preprocess_image,
     to_pil,
 )
@@ -399,7 +400,15 @@ class StableDiffusionPipeline:
             + ("_ip" if with_ip else ""),
         )
 
-    def _build_fused_pipeline(self, num_steps: int, synth_uncond: bool):
+    def _build_fused_pipeline(
+        self,
+        num_steps: int,
+        synth_uncond: bool,
+        *,
+        with_control: bool = False,
+        ctrl_is_u8: bool = False,
+        with_ip: bool = False,
+    ):
         """ONE executable for the whole text2img call: prompt encode →
         latent init → N-step denoise loop → VAE decode → uint8 image.
 
@@ -408,7 +417,16 @@ class StableDiffusionPipeline:
         per-launch CUDA overhead and solves it with CUDA graphs,
         SURVEY.md §3.3).  The stepwise path costs ~15 dispatches per
         image; this path costs one dispatch + one device→host read —
-        measured ~200 ms off the SD1.5 512² e2e (2026-08)."""
+        measured ~200 ms off the SD1.5 512² e2e (2026-08).
+
+        ``with_control`` compiles the ControlNet branch INTO the same
+        executable (hint conv stack hoisted out of the loop, residuals
+        inside it) — the text encode, hint embed, loop, VAE decode and
+        uint8 convert all become one dispatch.  ``ctrl_is_u8`` moves the
+        [0,1] normalization on device so the control image crosses the
+        link as uint8 (4x fewer bytes than an f32 upload; a 512² hint is
+        768 KB vs 3 MB — material through a ~22 MB/s tunnel).
+        ``with_ip`` threads loop-invariant IP-Adapter image tokens."""
         te_model = (
             self.text_encoder.model
             if isinstance(self.text_encoder, CompiledModel)
@@ -420,6 +438,12 @@ class StableDiffusionPipeline:
         te_apply = te_model.apply_fn(self._ccfg)
         vae_apply = vae_model.apply_fn(self._ccfg)
         unet_apply = self.unet_model.apply_fn(self._ccfg)
+        cn_apply = cn_cfg = None
+        if with_control:
+            cn = self.controlnet
+            cn_model = cn.model if isinstance(cn, CompiledModel) else cn
+            cn_apply = cn_model.apply_fn(self._ccfg)
+            cn_cfg = cn_model.config
         scheduler = self.scheduler
         needs_noise = getattr(scheduler, "needs_noise", False)
         penult = self.clip_skip_mode == "penultimate"
@@ -446,6 +470,11 @@ class StableDiffusionPipeline:
             state,
             guidance_scale,
             seed_arr,
+            cn_params=None,
+            ctrl=None,
+            cn_scale=None,
+            ip_embeds=None,
+            ip_scale=None,
             *,
             lat_shape,
         ):
@@ -465,6 +494,19 @@ class StableDiffusionPipeline:
             # body, XLA re-carves (and re-tiles) all ~1.7 GB of weights
             # every step (+280 ms/image, measured 2026-08)
             unet_params_u = maybe_unpack(unet_params)
+            ctrl_in = ctrl_embed = cn_params_u = None
+            if with_control:
+                from sfast_tpu.models.controlnet import controlnet_cond_embed
+
+                cn_params_u = maybe_unpack(cn_params)
+                ctrl_in = ctrl
+                if ctrl_is_u8:
+                    # uint8 crossed the link; [0,1]-normalize on device
+                    ctrl_in = (ctrl_in.astype(jnp.float32) / 255.0).astype(dtype)
+                ctrl_in = jnp.concatenate([ctrl_in, ctrl_in], axis=0)  # CFG
+                # pixel-res hint conv stack on a loop-invariant input:
+                # once per call, not once per step
+                ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl_in)
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, lat_shape, jnp.float32)
@@ -485,7 +527,21 @@ class StableDiffusionPipeline:
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                eps = unet_apply(unet_params_u, lat_in, tt, context)
+                kwargs = {}
+                if with_ip:
+                    kwargs["ip_adapter_embeds"] = ip_embeds
+                    kwargs["ip_adapter_scale"] = ip_scale
+                if with_control:
+                    down_res, mid_res = cn_apply(
+                        cn_params_u, lat_in, tt, context, ctrl_in,
+                        conditioning_scale=cn_scale,
+                        cond_embed=ctrl_embed,
+                    )
+                    kwargs.update(
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res,
+                    )
+                eps = unet_apply(unet_params_u, lat_in, tt, context, **kwargs)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
@@ -504,7 +560,9 @@ class StableDiffusionPipeline:
 
         return LazyCompiledFunction(
             run,
-            name=f"sd_pipeline_{num_steps}",
+            name=f"sd_pipeline_{num_steps}"
+            + ("_cn8" if (with_control and ctrl_is_u8) else "_cn" if with_control else "")
+            + ("_ip" if with_ip else ""),
             static_argnames=("lat_shape",),
         )
 
@@ -563,8 +621,7 @@ class StableDiffusionPipeline:
             and callback_on_step_end is None
             and image is None
             and user_latents is None
-            and control_image is None
-            and ip_adapter_embeds is None
+            and (control_image is None or self.controlnet is not None)
             and output_type in ("np", "pil")
         )
         context = (
@@ -614,12 +671,20 @@ class StableDiffusionPipeline:
             state = self.scheduler.prepare_state(state, latents)
 
         ctrl = None
+        ctrl_u8 = False
         ctrl_scale = self._dev_scalar(controlnet_conditioning_scale)
         if control_image is not None:
             if self.controlnet is None:
                 raise ValueError("pipeline has no controlnet model")
-            ctrl = preprocess_control_image(control_image, self.dtype)
-            ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
+            if use_full_early:
+                # single-dispatch path: upload raw uint8, normalize and
+                # CFG-double inside the fused executable
+                ctrl, ctrl_u8 = preprocess_control_image_u8(
+                    control_image, self.dtype
+                )
+            else:
+                ctrl = preprocess_control_image(control_image, self.dtype)
+                ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
 
         gs = self._dev_scalar(guidance_scale)
         use_fused = (
@@ -627,23 +692,28 @@ class StableDiffusionPipeline:
             and callback_on_step_end is None
             and start_index == 0
         )
-        use_full = (
-            use_fused
-            and image is None
-            and user_latents is None
-            and ctrl is None
-            and ip_adapter_embeds is None
-            and output_type in ("np", "pil")
-        )
+        use_full = use_fused and use_full_early
         if use_full:
             # single-dispatch whole-pipeline executable (prompt encode →
             # loop → VAE → uint8); each separate dispatch is a host round
             # trip, ~15 of which cost ~200 ms e2e on a tunneled TPU
             synth = negative_prompt_ids is None and self.tokenizer is None
-            fp = self._fused_loops.get(("full", num_inference_steps, synth))
+            with_control = ctrl is not None
+            with_ip = ip_adapter_embeds is not None
+            fkey = (
+                "full", num_inference_steps, synth,
+                with_control, ctrl_u8, with_ip,
+            )
+            fp = self._fused_loops.get(fkey)
             if fp is None:
-                fp = self._build_fused_pipeline(num_inference_steps, synth)
-                self._fused_loops[("full", num_inference_steps, synth)] = fp
+                fp = self._build_fused_pipeline(
+                    num_inference_steps,
+                    synth,
+                    with_control=with_control,
+                    ctrl_is_u8=ctrl_u8,
+                    with_ip=with_ip,
+                )
+                self._fused_loops[fkey] = fp
             if negative_prompt_ids is None:
                 negative_prompt_ids = (
                     prompt_ids  # placeholder; synthesized in-executable
@@ -666,6 +736,11 @@ class StableDiffusionPipeline:
                 state,
                 gs,
                 np.asarray([seed], np.uint32),
+                self.controlnet.params if with_control else None,
+                ctrl,
+                ctrl_scale if with_control else None,
+                ip_adapter_embeds,
+                self._dev_scalar(ip_adapter_scale) if with_ip else None,
             )
             if _warmup_only:
                 fp.warmup(*full_args, lat_shape=(b, lh, lw, lat_c))

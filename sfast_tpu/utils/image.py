@@ -32,6 +32,25 @@ def to_pil(image) -> List:
     return [Image.fromarray(a) for a in arr]
 
 
+def preprocess_control_image_u8(img, dtype=jnp.float32):
+    """Control image → ``(device_array, is_u8)`` for the fused-pipeline
+    path: uint8 inputs (the common case — canny/pose hints are
+    uint8-born) cross the host→device link RAW and are [0,1]-normalized
+    inside the executable, 4x fewer bytes than a float upload (768 KB vs
+    3 MB for a 512² hint — material through a ~22 MB/s tunnel).  Float
+    inputs fall back to the standard normalize-on-host path."""
+    if not isinstance(img, np.ndarray):
+        if isinstance(img, (list, tuple)):
+            img = np.stack([np.asarray(i) for i in img])
+        else:
+            img = np.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+    if img.dtype == np.uint8:
+        return jnp.asarray(img), True
+    return jnp.asarray(img, dtype), False
+
+
 def preprocess_control_image(img, dtype=jnp.float32) -> jnp.ndarray:
     """Control/conditioning images are [0,1]-ranged (diffusers ControlNet
     convention), unlike VAE inputs which are [-1,1]."""

@@ -189,13 +189,87 @@ def test_instant_id_composition_controlnet_plus_ip_adapter():
     assert np.abs(np.asarray(cn_off) - np.asarray(both)).max() > 0
 
 
+def _instant_id_pipe():
+    """InstantID-style pipe (ControlNet w/ randomized zero-convs +
+    IP-Adapter) shared by the stepwise and single-dispatch tests."""
+    import dataclasses as dc
+    from sfast_tpu.ip_adapter import init_ip_adapter_params, ip_image_embed
+    from sfast_tpu.models.controlnet import ControlNetConfig, create_controlnet
+
+    cfg_u = dc.replace(TINY_UNET, cross_attention_dim=64)
+    cfg_c = ControlNetConfig(
+        unet=cfg_u, conditioning_embedding_out_channels=(16, 32)
+    )
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    unet = create_unet(cfg_u, jax.random.key(1))
+    ip_params, image_proj = init_ip_adapter_params(
+        jax.random.key(5), cfg_u, unet.params, clip_embed_dim=32
+    )
+    controlnet = create_controlnet(cfg_c, jax.random.key(3))
+    cn_params = dict(controlnet.params)
+    cn_params["controlnet_down_blocks"] = [
+        jax.tree_util.tree_map(
+            lambda a: jax.random.normal(jax.random.key(11 + i), a.shape, a.dtype)
+            * 0.1,
+            zc,
+        )
+        for i, zc in enumerate(cn_params["controlnet_down_blocks"])
+    ]
+    cn_params["controlnet_mid_block"] = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.key(99), a.shape, a.dtype) * 0.1,
+        cn_params["controlnet_mid_block"],
+    )
+    pipe = StableDiffusionPipeline(
+        unet=unet.replace_params(ip_params),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        controlnet=controlnet.replace_params(cn_params),
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    tokens = ip_image_embed(image_proj, jnp.ones((1, 32)))
+    tokens = jnp.concatenate([jnp.zeros_like(tokens), tokens], axis=0)
+    return pipe, tokens
+
+
+def test_full_single_dispatch_with_controlnet_and_ip_adapter():
+    """ControlNet + IP-Adapter compile INTO the whole-pipeline
+    single-dispatch executable (uint8 control image normalized on
+    device); the image must match the stepwise path and the cache key
+    must carry the branch flags."""
+    pipe, tokens = _instant_id_pipe()
+    kps = np.zeros((1, 32, 32, 3), np.uint8)
+    kps[:, 8:12, 8:12] = 255
+    kw = dict(
+        prompt_ids=jnp.ones((1, 77), jnp.int32),
+        height=32, width=32, num_inference_steps=2, seed=0,
+        control_image=kps, ip_adapter_embeds=tokens,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    stepwise = np.asarray(pipe(**kw).images)
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = np.asarray(pipe(**kw).images)
+    # key: (tag, steps, synth_uncond, with_control, ctrl_u8, with_ip)
+    assert ("full", 2, True, True, True, True) in pipe._fused_loops
+    assert fused.dtype == np.uint8 and fused.shape == (1, 32, 32, 3)
+    # same math, different fusion: allow one uint8 rounding flip
+    assert np.abs(fused.astype(int) - stepwise.astype(int)).max() <= 1
+    # float control images fall back to host-normalized upload
+    fkw = dict(kw)
+    fkw["control_image"] = kps.astype(np.float32) / 255.0
+    fused_f = np.asarray(pipe(**fkw).images)
+    assert ("full", 2, True, True, False, True) in pipe._fused_loops
+    assert np.abs(fused_f.astype(int) - fused.astype(int)).max() <= 1
+
+
 def test_warmup_precompiles_resolutions():
     """warmup() compiles the fused-full executable per (H, W, steps)
     combo WITHOUT executing; the later real call is a pure cache hit."""
     pipe = _pipe(ccfg=CCFG.replace(fuse_denoising_loop=True))
     out = pipe.warmup(resolutions=((32, 32), (64, 64)), steps=(2,))
     assert out is None
-    fp = pipe._fused_loops[("full", 2, True)]
+    fp = pipe._fused_loops[("full", 2, True, False, False, False)]
     assert fp.cache_size == 2  # one executable per resolution
     img = pipe(
         prompt_ids=jnp.ones((1, 77), jnp.int32),
@@ -210,7 +284,10 @@ def test_warmup_background_thread():
     t = pipe.warmup(resolutions=((32, 32),), steps=(2,), background=True)
     t.join(timeout=300)
     assert not t.is_alive()
-    assert pipe._fused_loops[("full", 2, True)].cache_size == 1
+    assert (
+        pipe._fused_loops[("full", 2, True, False, False, False)].cache_size
+        == 1
+    )
 
 
 def test_warmup_after_quantize_serves_quantized_structure():
@@ -224,7 +301,7 @@ def test_warmup_after_quantize_serves_quantized_structure():
     cal = calibrate_pipeline(pipe, ids, height=32, width=32, timesteps=(999,))
     quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
     pipe.warmup(resolutions=((32, 32),), steps=(2,))
-    fp = pipe._fused_loops[("full", 2, True)]
+    fp = pipe._fused_loops[("full", 2, True, False, False, False)]
     n = fp.cache_size
     assert n >= 1
     img = pipe(prompt_ids=ids, height=32, width=32, num_inference_steps=2,

@@ -225,7 +225,7 @@ def test_fused_pipeline_single_dispatch():
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
 
-    fp = pipe._fused_loops[("full", 3, True)]
+    fp = pipe._fused_loops[("full", 3, True, False, False, False)]
     n_sigs = fp.cache_size
     assert n_sigs == 1
     new_params = jax.tree_util.tree_map(

@@ -22,8 +22,14 @@ def layer_norm(
     eps: float = 1e-5,
 ) -> jax.Array:
     xf = x.astype(jnp.float32)
+    # one-pass sum/sumsq (matches the GroupNorm formulation): the
+    # two-pass mean-then-centered-variance needs x twice inside the
+    # fusion; E[x²]−E[x]² shares one read.  f32 accumulation over a
+    # ≤2560-wide lane axis keeps cancellation error ~1e-6 relative —
+    # inside the bf16 activations' own quantization noise.
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = ms - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     if gamma is not None:
         y = y * gamma.astype(jnp.float32)

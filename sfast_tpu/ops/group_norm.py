@@ -260,36 +260,31 @@ def group_norm_xla(
     eps: float = 1e-5,
     act: Optional[str] = None,
 ) -> jax.Array:
-    """Plain-XLA GroupNorm (lane-aligned formulation, f32 accumulation).
+    """Plain-XLA GroupNorm (sum/sumsq single-fusion formulation, f32
+    accumulation) — fallback and small-shape path.
 
-    Stats are computed as PER-CHANNEL sums over HW (minor axis stays C —
-    full 128-lane utilization) and only the tiny (N, C) sums are folded
-    into per-group stats.  The naive formulation — reshape to
-    (N, HW, G, C/G) and reduce axes (1, 3) — puts a 10..40-wide
-    channels-per-group axis minor, and the TPU pads every row to 128
-    lanes: measured 24.0 ms/eval of convert_reduce in the SDXL UNet
-    (2026-08-18 trace), ~12x the bandwidth floor for SD1.5's C/G=10.
-    Same trick as the Pallas stats kernel above, expressed in XLA so the
-    stats reduce still fuses with its producer where possible."""
+    A lane-aligned alternative (per-channel sums over HW, fold (N,C)
+    into (N,G) — keeping the minor axis at full 128-lane width) was
+    built and A/B-measured same-session inside the real UNet evals
+    (``benchmarks/probe_gn_formulations.py``, v5e 2026-08-18): it LOST
+    slightly on both models (SDXL 166.4 vs 164.6 ms/eval, SD1.5 57.1 vs
+    55.9).  XLA already vectorizes the grouped (N,HW,G,C/G) reduce well;
+    the convert_reduce time in the SDXL trace is bandwidth (the f32
+    upcast read), not lane padding.  So the simple grouped formulation
+    stays."""
     n, h, w, c = x.shape
     cpg = c // groups
-    xf = x.reshape(n, h * w, c).astype(jnp.float32)
-    # one pass over x: both reduces share the read (multi-output fusion)
-    s1 = jnp.sum(xf, axis=1)  # (N, C)
-    s2 = jnp.sum(xf * xf, axis=1)  # (N, C)
+    xf = x.reshape(n, h * w, groups, cpg).astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 3), keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=(1, 3), keepdims=True)
     cnt = jnp.float32(h * w * cpg)
-    gs1 = jnp.sum(s1.reshape(n, groups, cpg), axis=-1)  # (N, G) — tiny
-    gs2 = jnp.sum(s2.reshape(n, groups, cpg), axis=-1)
-    mean_g = gs1 / cnt
-    var_g = gs2 / cnt - mean_g * mean_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    # per-channel scale/shift, precombined with the affine params so the
-    # apply is one fused multiply-add at full lane width
-    mean = jnp.repeat(mean_g, cpg, axis=-1).reshape(n, 1, c)
-    rstd = jnp.repeat(rstd_g, cpg, axis=-1).reshape(n, 1, c)
-    scale = rstd * gamma.reshape(1, 1, c).astype(jnp.float32)
-    shift = beta.reshape(1, 1, c).astype(jnp.float32) - mean * scale
-    y = xf * scale + shift
+    mean = s1 / cnt
+    var = s2 / cnt - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * rstd
+    y = y.reshape(n, h * w, c) * gamma.reshape(1, 1, c).astype(
+        jnp.float32
+    ) + beta.reshape(1, 1, c).astype(jnp.float32)
     return _apply_act(y, act).astype(x.dtype).reshape(n, h, w, c)
 
 

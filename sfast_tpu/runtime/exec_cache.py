@@ -68,12 +68,40 @@ def _code_fingerprint() -> str:
         return _FINGERPRINT
 
 
+def _is_tunneled_tpu() -> bool:
+    """True when the TPU is reached through a network tunnel (axon).
+
+    ``device.platform`` is ``"tpu"`` for BOTH local and tunneled chips
+    (the tunnel plugin registers under the ``axon`` backend name but
+    reports the real platform), so gating on ``platform != "tpu"`` never
+    fired — measured 2026-08-18: the cache was silently ACTIVE over the
+    tunnel, pulling the ~370 MB serialized pipeline through a ~22 MB/s
+    link during warmup (serialize-on-save) and taking the slower
+    deserialize_and_load warm path (71.5 s vs 54.9 s for trace +
+    XLA-cache).  The plugin name is the reliable discriminator: it
+    appears as the backends() registry key and in platform_version."""
+    try:
+        import jax._src.xla_bridge as xb
+
+        return "axon" in xb.backends()
+    except Exception:
+        try:
+            import jax
+
+            client = jax.devices()[0].client
+            return "axon" in getattr(client, "platform_version", "")
+        except Exception:
+            return False
+
+
 def exec_cache_dir() -> Optional[str]:
     """Cache directory, or None when the cache is disabled.
 
-    Enabled only for TPU-class backends: CPU AOT executables embed host
+    Enabled only for LOCAL TPU backends: CPU AOT executables embed host
     CPU features and are not portable (and CPU is the test environment,
-    where a stale-executable bug would be far harder to notice)."""
+    where a stale-executable bug would be far harder to notice); over a
+    tunneled device serialize/deserialize moves the full binary across
+    the tunnel and loses to trace + XLA-cache (see _is_tunneled_tpu)."""
     if os.environ.get("SFAST_TPU_DISABLE_CACHE", "0") == "1":
         return None
     if os.environ.get("SFAST_TPU_DISABLE_EXEC_CACHE", "0") == "1":
@@ -86,14 +114,7 @@ def exec_cache_dir() -> Optional[str]:
             platform = jax.devices()[0].platform
         except Exception:
             return None
-        # Local TPU only.  Over a tunneled device ("axon"),
-        # deserialize_executable pushes the full binary (~400 MB for the
-        # fused SD1.5 pipeline) through the tunnel and MEASURED SLOWER
-        # than re-trace + the XLA cache (warm start 71.5 s vs 54.9 s,
-        # 2026-08); on local hardware the same upload is PCIe-fast and
-        # the cache turns warm start into load+dispatch.  Force with
-        # SFAST_TPU_FORCE_EXEC_CACHE=1.
-        if platform != "tpu":
+        if platform != "tpu" or _is_tunneled_tpu():
             return None
     base = os.environ.get(
         "SFAST_TPU_CACHE_DIR",

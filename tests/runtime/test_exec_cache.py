@@ -93,3 +93,40 @@ def test_disabled_by_default_on_cpu(tmp_path, monkeypatch):
 
     if jax.devices()[0].platform not in ("tpu", "axon"):
         assert exec_cache.exec_cache_dir() is None
+
+
+def test_disabled_on_tunneled_tpu(tmp_path, monkeypatch):
+    """A tunneled chip reports platform == "tpu" (the gate that only
+    checked the platform string silently left the cache ON over the
+    tunnel, round 4) — the backends() registry key is the discriminator."""
+    monkeypatch.delenv("SFAST_TPU_FORCE_EXEC_CACHE", raising=False)
+    monkeypatch.delenv("SFAST_TPU_DISABLE_CACHE", raising=False)
+    monkeypatch.setenv("SFAST_TPU_CACHE_DIR", str(tmp_path))
+    import jax._src.xla_bridge as xb
+
+    from sfast_tpu.runtime import exec_cache
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeTpu()])
+    monkeypatch.setattr(
+        xb, "backends", lambda: {"axon": object(), "cpu": object()}
+    )
+    assert exec_cache._is_tunneled_tpu()
+    assert exec_cache.exec_cache_dir() is None
+
+    # same platform string, no tunnel plugin -> cache enabled
+    monkeypatch.setattr(xb, "backends", lambda: {"tpu": object()})
+    assert not exec_cache._is_tunneled_tpu()
+    d = exec_cache.exec_cache_dir()
+    assert d is not None and d.startswith(str(tmp_path))
+
+
+def test_force_overrides_tunnel_gate(tmp_path, monkeypatch):
+    monkeypatch.setenv("SFAST_TPU_FORCE_EXEC_CACHE", "1")
+    monkeypatch.delenv("SFAST_TPU_DISABLE_CACHE", raising=False)
+    monkeypatch.setenv("SFAST_TPU_CACHE_DIR", str(tmp_path))
+    from sfast_tpu.runtime import exec_cache
+
+    assert exec_cache.exec_cache_dir() is not None

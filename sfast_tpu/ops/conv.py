@@ -11,12 +11,23 @@ epilogue, giving the pass pipeline a single target like the reference's
 ``sfast::cudnn_convolution_bias_add_activation``.
 """
 
+import os
 from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Experiment gate: ask the conv custom-call for a bf16 OUTPUT BUFFER
+# (the MXU still accumulates f32 internally) and run the bias/residual
+# epilogue in bf16.  The round-4 trace pins every top while-loop fusion
+# to the f32 conv-output boundary (add_convert / convert_multiply
+# fusions around conv.py's conv_general_dilated): an f32 buffer doubles
+# the write+read bytes at every conv→epilogue→GN edge.  Costs one extra
+# bf16 rounding before the bias add (~0.4% activation noise, the same
+# class as the reference's fp16 conv outputs).
+_BF16_OUT = os.environ.get("SFAST_TPU_CONV_BF16_OUT") == "1"
 
 
 def conv2d(
@@ -44,6 +55,9 @@ def conv2d(
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
 
+    acc_dtype = (
+        x.dtype if (_BF16_OUT and x.dtype == jnp.bfloat16) else jnp.float32
+    )
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -52,12 +66,12 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_dtype,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(acc_dtype)
     if residual is not None:
-        y = y + residual.astype(jnp.float32)
+        y = y + residual.astype(acc_dtype)
     if act == "relu":
         y = jax.nn.relu(y)
     elif act == "sigmoid":

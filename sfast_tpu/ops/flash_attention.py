@@ -420,20 +420,23 @@ def flash_attention(
         padd = [(0, 0), (0, 0), (0, dp - d)]
         q, k, v = (jnp.pad(t, padd) for t in (q, k, v))
 
-    # Fused denominator: when d-padding leaves a free column (SD1.5
-    # level-0 d=40→64) plant ones in V's first pad column so the PV
-    # matmul row-sums p into the f32 accumulator — the kernel then skips
-    # its f32 convert + row-sum VPU passes over every score block.
-    # Exact on the bf16-softmax path: the MXU sums the very same bf16 p
-    # values the old code converted to f32 and summed on the VPU
-    # (device outputs bitwise-identical), and measured -5.4% per call at
-    # the hot SD1.5 shape (2,8,4096,4096,40): median 914 vs 966 µs over
-    # 5 alternated two-point chains, v5e 2026-08-19.
-    # (kv-padding rows stay zero in the ones column: jnp.pad runs after.)
+    # Fused denominator (OPT-IN, measured-negative in context): when
+    # d-padding leaves a free column (SD1.5 level-0 d=40→64) plant ones
+    # in V's first pad column so the PV matmul row-sums p into the f32
+    # accumulator — the kernel then skips its f32 convert + row-sum VPU
+    # passes over every score block.  Exact on the bf16-softmax path
+    # (device outputs bitwise-identical).  Measured v5e 2026-08-19:
+    # WINS -5.4%/call at the isolated hot shape (2,8,4096,4096,40)
+    # (median 914 vs 966 µs, 5 alternated two-point chains) but LOSES
+    # in the fused SD1.5 pipeline (adjacent-session bench.py A/B:
+    # 1120.0 vs 1056.5 ms e2e) — the per-step ones-column write on the
+    # freshly-projected V plus scheduling interactions outweigh the
+    # in-kernel saving.  Kept opt-in for d<64 serving shapes where the
+    # isolated win may transfer.
     fused_l = (
         dp > d
         and jnp.dtype(softmax_dtype) == jnp.bfloat16
-        and os.environ.get("SFAST_TPU_NO_FUSED_L") != "1"
+        and os.environ.get("SFAST_TPU_FUSED_L") == "1"
     )
     if fused_l:
         v = v.at[:, :, d].set(1)

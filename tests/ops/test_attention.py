@@ -79,9 +79,10 @@ def test_flash_bf16():
     ],
 )
 def test_flash_fused_l_bf16_d40(sq, sk, causal, monkeypatch):
-    """d=40 + bf16 softmax triggers the fused-denominator path (ones
-    column in V's d-padding, l via the PV matmul) — must match both the
-    reference and the explicit-l kernel (SFAST_TPU_NO_FUSED_L=1)."""
+    """d=40 + bf16 softmax + SFAST_TPU_FUSED_L=1 triggers the opt-in
+    fused-denominator path (ones column in V's d-padding, l via the PV
+    matmul) — must match both the reference and the explicit-l
+    kernel."""
     keys = jax.random.split(jax.random.key(3), 3)
     q = jax.random.normal(keys[0], (1, 2, sq, 40), jnp.bfloat16)
     k = jax.random.normal(keys[1], (1, 2, sk, 40), jnp.bfloat16)
@@ -93,9 +94,9 @@ def test_flash_fused_l_bf16_d40(sq, sk, causal, monkeypatch):
         block_k=128,
         softmax_dtype=jnp.bfloat16,
     )
-    monkeypatch.delenv("SFAST_TPU_NO_FUSED_L", raising=False)
+    monkeypatch.setenv("SFAST_TPU_FUSED_L", "1")
     fused = flash_attention(q, k, v, **kw)
-    monkeypatch.setenv("SFAST_TPU_NO_FUSED_L", "1")
+    monkeypatch.delenv("SFAST_TPU_FUSED_L", raising=False)
     explicit = flash_attention(q, k, v, **kw)
     ref = _ref_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(

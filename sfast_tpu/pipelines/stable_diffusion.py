@@ -622,7 +622,7 @@ class StableDiffusionPipeline:
             and image is None
             and user_latents is None
             and (control_image is None or self.controlnet is not None)
-            and output_type in ("np", "pil")
+            and output_type in ("np", "pil", "device")
         )
         context = (
             None
@@ -752,6 +752,11 @@ class StableDiffusionPipeline:
                 image_out.copy_to_host_async()
             except Exception:
                 pass
+            if output_type == "device":
+                # still on device, D2H already in flight: the caller
+                # (e.g. map()) fetches later, overlapping the transfer
+                # with the next image's dispatch/compute
+                return PipelineOutput(image_out)
             if output_type == "pil":
                 return PipelineOutput(to_pil(image_out))
             return PipelineOutput(np.asarray(image_out))
@@ -804,6 +809,64 @@ class StableDiffusionPipeline:
         # executable is bucket-keyed too; drop padding rows at the end
         image_out = self.vae(latents / vae_cfg.scaling_factor)
         image_out = denormalize_to_uint8(image_out)[:real_b]
+        if output_type == "device":
+            return PipelineOutput(image_out)
         if output_type == "pil":
             return PipelineOutput(to_pil(image_out))
         return PipelineOutput(np.asarray(image_out))
+
+    def map(
+        self,
+        prompts,
+        *,
+        window: int = 2,
+        output_type: str = "np",
+        **kwargs,
+    ):
+        """Sustained-throughput serving: pipelined generation over many
+        prompts.
+
+        Yields one :class:`PipelineOutput` per prompt, in order, but
+        dispatches image ``i+1`` (host tokenize + async device dispatch)
+        BEFORE fetching image ``i`` — so the fixed host tail of every
+        call (device→host image transfer + RPC round trips, measured
+        ~94 ms/call on a tunneled v5e, ``benchmarks/probe_fixed_cost.py``)
+        overlaps the next image's device compute instead of serializing
+        after it.  No executable donates its inputs, so ``window``
+        in-flight images only cost activation memory (768 KB uint8 out +
+        latents each at 512²).
+
+        The reference has no batch-serving surface (its README times
+        sequential ``pipe(...)`` calls); this is the TPU-async analog of
+        keeping the CUDA stream saturated across requests.
+
+        ``prompts`` may be any iterable of prompt strings (or lists for
+        per-call batches); ``kwargs`` are forwarded to ``__call__``.
+        """
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if output_type not in ("np", "pil"):
+            raise ValueError(
+                f"map() yields host images; output_type must be 'np' or "
+                f"'pil', got {output_type!r}"
+            )
+        from collections import deque
+
+        def finalize(dev):
+            if output_type == "pil":
+                return PipelineOutput(to_pil(dev))
+            return PipelineOutput(np.asarray(dev))
+
+        pending: "deque" = deque()
+        for p in prompts:
+            if isinstance(p, (str, list)):
+                out = self.__call__(p, output_type="device", **kwargs)
+            else:  # pre-tokenized ids array
+                out = self.__call__(
+                    prompt_ids=p, output_type="device", **kwargs
+                )
+            pending.append(out.images)
+            if len(pending) >= window:
+                yield finalize(pending.popleft())
+        while pending:
+            yield finalize(pending.popleft())

@@ -121,6 +121,24 @@ def test_batch_of_prompts(compiled_pipe):
     assert out.images.shape == (2, 64, 64, 3)
 
 
+def test_map_pipelined_matches_sequential(compiled_pipe):
+    """map() (windowed dispatch-ahead serving) must yield exactly the
+    images sequential calls produce, in order."""
+    ids = [jnp.full((1, 77), i + 1, jnp.int32) for i in range(3)]
+    kw = dict(height=64, width=64, num_inference_steps=2, seed=5)
+    seq = [compiled_pipe(prompt_ids=i, **kw).images for i in ids]
+    piped = [o.images for o in compiled_pipe.map(ids, window=2, **kw)]
+    assert len(piped) == len(seq)
+    for a, b in zip(seq, piped):
+        assert b.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+
+
+def test_map_rejects_device_output(compiled_pipe):
+    with pytest.raises(ValueError):
+        next(compiled_pipe.map([jnp.ones((1, 77), jnp.int32)], output_type="device"))
+
+
 def test_fused_loop_rekeys_on_step_count_change():
     """A fused loop built for N steps must not be reused for M != N —
     the fori_loop trip count and step-array lengths are baked in (round-1

@@ -37,6 +37,10 @@ REPEATS = 3
 # off by default until the measured e2e beats bf16 on this chip (the
 # dynamic-quant variant measured 1.3-2.5x SLOWER e2e; see STATUS.md).
 W8A8 = os.environ.get("SFAST_TPU_BENCH_W8A8", "0") == "1"
+# Opt-in int8 flash attention A/B (SFAST_TPU_BENCH_INT8_ATTN=1): routes
+# long-sequence self-attention through the SageAttention-style int8
+# kernel (ops/flash_attention.py:flash_attention_int8).
+INT8_ATTN = os.environ.get("SFAST_TPU_BENCH_INT8_ATTN", "0") == "1"
 
 
 def _zeros_on_device(init_fn):
@@ -77,7 +81,9 @@ def build_pipeline():
         scheduler=DPMSolverMultistepScheduler(),
         dtype=jnp.bfloat16,
     )
-    cfg = CompilationConfig.Default().replace(fuse_denoising_loop=True)
+    cfg = CompilationConfig.Default().replace(
+        fuse_denoising_loop=True, enable_int8_attention=INT8_ATTN
+    )
     return sfast_tpu.compile(pipe, cfg)
 
 
@@ -152,6 +158,7 @@ def main():
             {
                 "detail": {
                     "quantized": "w8a8-static" if W8A8 else "bf16",
+                    "int8_attn": INT8_ATTN,
                     "all_runs_ms": [round(t, 1) for t in times],
                     "warmup_incl_compile_s": round(compile_s, 1),
                     "build_s": round(build_s, 1),

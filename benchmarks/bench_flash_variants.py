@@ -1,0 +1,124 @@
+"""A/B flash-attention kernel structures at the SD1.5 hot shape.
+
+The round-4 trace pins 231.7 ms/image (22% of device time) on five
+flash-attention calls at bf16[2,8,4096,40] (the 64²-resolution
+self-attention blocks), 0.93 ms each vs a ~0.65-0.70 ms practical
+ceiling (both matmuls MXU-capped at ~50% by the 64-padded head dim).
+The residual is MXU/VPU serialization: each kv grid step runs
+matmul → softmax → matmul with nothing to overlap.
+
+Variants measured here (all numerics-identical, asserted on device):
+  base          — round-4 kernel as shipped
+  dimsem        — bh/q grid axes marked "parallel" for Mosaic
+  2kv@2048      — kv block 2048 split into 2 staged sub-blocks per
+                  program (independent MXU work for the scheduler)
+  2kv@1024      — kv block 1024, 2 sub-blocks of 512
+  4kv@2048      — kv block 2048, 4 sub-blocks of 512
+  infuse        — allow_input_fusion on q/k/v (prescale/pad fused in)
+
+Timing: K serial kernel applications inside ONE jitted scan (output
+feeds the next q), so the tunnel RTT amortizes to ~0; per-call time is
+total/K.  Run on the real chip:  python benchmarks/bench_flash_variants.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfast_tpu.ops.flash_attention import flash_attention
+
+SHAPE = (2, 8, 4096, 40)  # (B, H, S, D): SD1.5 64² self-attention, CFG batch
+ITERS = 100
+REPS = 5
+
+VARIANTS = {
+    "base": dict(dimsem=False),
+    "1kv@4096": dict(dimsem=False, block_k=4096),  # control: whole kv, no stagger
+    "2kv@4096": dict(dimsem=False, block_k=4096, kv_stages=2),
+    "4kv@4096": dict(dimsem=False, block_k=4096, kv_stages=4),
+    "2kv@4096-bq2048": dict(dimsem=False, block_q=2048, block_k=4096, kv_stages=2),
+    "2kv@4096+fusedl": dict(
+        dimsem=False, block_k=4096, kv_stages=2, _env={"SFAST_TPU_FUSED_L": "1"}
+    ),
+    "base+fusedl": dict(dimsem=False, _env={"SFAST_TPU_FUSED_L": "1"}),
+}
+
+
+def build(variant_kwargs, iters):
+    @jax.jit
+    def run(q, k, v):
+        def body(c, _):
+            o = flash_attention(
+                c, k, v, softmax_dtype=jnp.bfloat16, **variant_kwargs
+            )
+            return o, ()
+        out, _ = jax.lax.scan(body, q, None, length=iters)
+        return out
+
+    return run
+
+
+def main():
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, SHAPE, jnp.bfloat16)
+    k = jax.random.normal(k2, SHAPE, jnp.bfloat16)
+    v = jax.random.normal(k3, SHAPE, jnp.bfloat16)
+
+    ref_out = None
+    results = {}
+    for name, kwargs in VARIANTS.items():
+        kwargs = dict(kwargs)
+        env = kwargs.pop("_env", {})
+        for ek, ev in env.items():
+            os.environ[ek] = ev
+        # two-point chains (K and 2K serial calls in one executable):
+        # the difference cancels the per-dispatch tunnel RTT (~29 ms,
+        # i.e. ~1.45 ms/call at K=20 — larger than the effect measured)
+        fn1 = build(kwargs, ITERS)
+        fn2 = build(kwargs, 2 * ITERS)
+        try:
+            out = np.asarray(fn1(q, k, v))  # compile + correctness capture
+            jax.block_until_ready(fn2(q, k, v))
+        except Exception as e:
+            print(f"{name:>20}: FAILED ({type(e).__name__}: {e})")
+            for ek in env:
+                os.environ.pop(ek, None)
+            continue
+        if ref_out is None:
+            ref_out = out
+        else:
+            np.testing.assert_allclose(
+                out.astype(np.float32),
+                ref_out.astype(np.float32),
+                rtol=3e-2,
+                atol=3e-2,
+            )
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            jax.block_until_ready(fn1(q, k, v))
+            t1 = time.time()
+            jax.block_until_ready(fn2(q, k, v))
+            t2 = time.time()
+            times.append(((t2 - t1) - (t1 - t0)) / ITERS * 1e3)
+        med = sorted(times)[len(times) // 2]
+        results[name] = med
+        print(f"{name:>20}: {med:.3f} ms/call  (all: "
+              f"{[round(t, 3) for t in times]})")
+        for ek in env:
+            os.environ.pop(ek, None)
+
+    if results:
+        best = min(results, key=results.get)
+        print(f"\nbest: {best} at {results[best]:.3f} ms/call "
+              f"(base {results.get('base', float('nan')):.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,11 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # fusions around conv.py's conv_general_dilated): an f32 buffer doubles
 # the write+read bytes at every conv→epilogue→GN edge.  Costs one extra
 # bf16 rounding before the bias add (~0.4% activation noise, the same
-# class as the reference's fp16 conv outputs).
-_BF16_OUT = os.environ.get("SFAST_TPU_CONV_BF16_OUT") == "1"
+# class as the reference's fp16 conv outputs).  Read at TRACE time, like
+# SFAST_TPU_FUSED_L, so setting it after import works and tests can
+# monkeypatch it (ADVICE r4, low).
+def _bf16_out_enabled() -> bool:
+    return os.environ.get("SFAST_TPU_CONV_BF16_OUT") == "1"
 
 
 def conv2d(
@@ -56,7 +59,9 @@ def conv2d(
         padding = [(padding, padding), (padding, padding)]
 
     acc_dtype = (
-        x.dtype if (_BF16_OUT and x.dtype == jnp.bfloat16) else jnp.float32
+        x.dtype
+        if (_bf16_out_enabled() and x.dtype == jnp.bfloat16)
+        else jnp.float32
     )
     y = jax.lax.conv_general_dilated(
         x,

@@ -65,6 +65,7 @@ def _flash_kernel(
     softmax_dtype=jnp.float32,
     fused_l: bool = False,
     d_real: int = 0,
+    kv_stages: int = 1,
 ):
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -77,56 +78,80 @@ def _flash_kernel(
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[0]  # (block_q, d)
-    k = k_ref[0]  # (block_k, d)
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, block_k)
 
-    # Mask padded kv columns (static kv_len → compile-time-known bound).
-    # Skipped entirely when kv divides the block evenly and the pass is
-    # non-causal (the SD self-attention case): the iota/compare/where
-    # VPU passes over the (block_q, block_k) scores are measurable
-    # (~6% of the level-0 kernel, measured on v5e 2026-08).
-    if need_mask:
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = col < kv_len
-        if causal:
-            row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 0
-            )
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
-
+    # kv_stages > 1 splits the VMEM kv block into sub-blocks processed
+    # as consecutive online-softmax iterations INSIDE one program, with
+    # the carries (m, l, acc) held in registers/VMEM locals and written
+    # back once.  The point is MXU/VPU overlap: sub-block t+1's q·kᵀ
+    # matmul has no data dependency on sub-block t's softmax, so
+    # Mosaic's scheduler can issue it while the VPU runs t's exp/max
+    # passes — the cross-iteration stagger a grid-step boundary forbids
+    # (grid steps execute as separate sequential programs).
+    sub = block_k // kv_stages
     m_prev = m_scratch[:]  # (block_q, LANES), lane-replicated
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
-    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    l_prev = None if fused_l else l_scratch[:]
+    acc = acc_scratch[:]
+    for t in range(kv_stages):
+        if kv_stages > 1:
+            k_t = k_ref[0][t * sub : (t + 1) * sub]
+            v_t = v_ref[0][t * sub : (t + 1) * sub]
+        else:
+            k_t = k_ref[0]
+            v_t = v_ref[0]
+        s = jax.lax.dot_general(
+            q,
+            k_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, sub)
 
-    # softmax_dtype=bfloat16 runs the big (block_q, block_k) exp on the
-    # VPU at packed-bf16 rate and feeds the MXU without a cast pass; the
-    # row-sum still accumulates in f32 (exact).  ~0.4% p error — the
-    # same trade as the reference's fp16-accum lowp GEMMs.
-    # Scores arrive pre-scaled by log₂e (see LOG2E), so exp == exp2 here.
-    p = jnp.exp2((s - m_next[:, :1]).astype(softmax_dtype))
-    alpha = jnp.exp2(m_prev - m_next)  # (block_q, LANES)
+        # Mask padded kv columns (static kv_len → compile-time-known
+        # bound).  Skipped entirely when kv divides the block evenly and
+        # the pass is non-causal (the SD self-attention case): the
+        # iota/compare/where VPU passes over the (block_q, block_k)
+        # scores are measurable (~6% of the level-0 kernel, v5e 2026-08).
+        if need_mask:
+            col = j * block_k + t * sub + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            mask = col < kv_len
+            if causal:
+                row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0
+                )
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+        # softmax_dtype=bfloat16 runs the big (block_q, block_k) exp on
+        # the VPU at packed-bf16 rate and feeds the MXU without a cast
+        # pass; the row-sum still accumulates in f32 (exact).  ~0.4% p
+        # error — the same trade as the reference's fp16-accum lowp
+        # GEMMs.  Scores arrive pre-scaled by log₂e (see LOG2E), so
+        # exp == exp2 here.
+        p = jnp.exp2((s - m_next[:, :1]).astype(softmax_dtype))
+        alpha = jnp.exp2(m_prev - m_next)  # (block_q, LANES)
+        if not fused_l:
+            l_prev = l_prev * alpha + jnp.broadcast_to(
+                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                l_prev.shape,
+            )
+
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, d)
+        acc = acc * alpha[:, :1] + pv
+        m_prev = m_next
+
+    m_scratch[:] = m_prev
     if not fused_l:
-        l_next = l_scratch[:] * alpha + jnp.broadcast_to(
-            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
-            l_scratch.shape,
-        )
-        l_scratch[:] = l_next
-
-    m_scratch[:] = m_next
-
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, d)
-    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
+        l_scratch[:] = l_prev
+    acc_scratch[:] = acc
 
     @pl.when(j == n_k - 1)
     def _finalize():
@@ -396,10 +421,22 @@ def flash_attention(
     block_k: int = 1024,
     softmax_dtype=jnp.float32,
     interpret: bool = False,
+    kv_stages: int = 1,
+    dimsem: bool = False,
+    input_fusion: bool = False,
 ) -> jax.Array:
     """Blockwise attention over (B, H, S, D) tensors.
 
     ``softmax(scale * q @ kᵀ) @ v`` with O(S) memory.
+
+    ``kv_stages`` — sub-blocks per kv grid step (MXU/VPU stagger, see
+    ``_flash_kernel``); ``dimsem`` — mark the bh and q grid axes
+    "parallel" for Mosaic (only the kv axis carries state); measured
+    NEUTRAL-to-negative at the SD hot shape (0.955 vs 0.941 ms/call,
+    v5e two-point chains 2026-08-19, ``benchmarks/bench_flash_variants``)
+    so it defaults off; ``input_fusion`` — let XLA fuse the q prescale /
+    pad producers into the custom call instead of materializing them in
+    HBM (also measured neutral: 1.009 vs 1.004 ms/call same session).
     """
     batch, heads, sq, d = q.shape
     _, _, sk, _ = k.shape
@@ -443,6 +480,8 @@ def flash_attention(
 
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, LANES))
+    if block_k % kv_stages or (block_k // kv_stages) % LANES:
+        kv_stages = 1  # sub-blocks must stay lane-aligned
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
     if sq_p != sq:
@@ -463,7 +502,19 @@ def flash_attention(
         softmax_dtype=softmax_dtype,
         fused_l=fused_l,
         d_real=d,
+        kv_stages=kv_stages,
     )
+
+    compiler_params = None
+    if (dimsem or input_fusion) and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            # only the kv axis carries online-softmax state; bh and q
+            # are embarrassingly parallel
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+            if dimsem
+            else None,
+            allow_input_fusion=[input_fusion] * 3,
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -489,6 +540,7 @@ def flash_attention(
             pltpu.VMEM((block_q, dp), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
+        compiler_params=compiler_params,
     )(q, k, v)
 
     out = out[:, :sq, :d]

@@ -861,9 +861,17 @@ class StableDiffusionPipeline:
         for p in prompts:
             if isinstance(p, (str, list)):
                 out = self.__call__(p, output_type="device", **kwargs)
-            else:  # pre-tokenized ids array
+            elif hasattr(p, "shape"):  # pre-tokenized ids array
                 out = self.__call__(
                     prompt_ids=p, output_type="device", **kwargs
+                )
+            else:
+                # fail at the surface, not deep inside __call__ with an
+                # AttributeError (ADVICE r4, low)
+                raise TypeError(
+                    "map() items must be a prompt str, a list of prompt "
+                    "strs, or a pre-tokenized ids array (has .shape); "
+                    f"got {type(p).__name__}"
                 )
             pending.append(out.images)
             if len(pending) >= window:

@@ -109,3 +109,26 @@ def test_conv2d_fused_residual_silu():
     rt = torch.from_numpy(np.asarray(r)).permute(0, 3, 1, 2)
     ref = F.silu(F.conv2d(xt, wt, padding=1) + rt).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_conv2d_bf16_out_gate(monkeypatch):
+    """SFAST_TPU_CONV_BF16_OUT is read at TRACE time (ADVICE r4 low):
+    setting it after import must take effect, and the bf16-output path
+    must stay within one bf16 rounding of the f32-epilogue path."""
+    keys = jax.random.split(jax.random.key(7), 3)
+    x = jax.random.normal(keys[0], (1, 8, 8, 8), jnp.bfloat16)
+    w = (jax.random.normal(keys[1], (3, 3, 8, 8), jnp.bfloat16) * 0.2).astype(
+        jnp.bfloat16
+    )
+    b = jax.random.normal(keys[2], (8,), jnp.bfloat16)
+
+    monkeypatch.delenv("SFAST_TPU_CONV_BF16_OUT", raising=False)
+    ref = np.asarray(
+        conv2d(x, w, b, padding=1, act="silu"), dtype=np.float32
+    )
+    monkeypatch.setenv("SFAST_TPU_CONV_BF16_OUT", "1")
+    got = np.asarray(
+        conv2d(x, w, b, padding=1, act="silu"), dtype=np.float32
+    )
+    # bf16 epilogue: one extra rounding of the conv output (~2^-8 rel)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

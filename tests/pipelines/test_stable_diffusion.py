@@ -139,6 +139,18 @@ def test_map_rejects_device_output(compiled_pipe):
         next(compiled_pipe.map([jnp.ones((1, 77), jnp.int32)], output_type="device"))
 
 
+def test_map_rejects_bad_item_type(compiled_pipe):
+    """A non-prompt, non-array item must fail at the surface with a
+    clear TypeError, not an AttributeError deep inside __call__
+    (ADVICE r4, low)."""
+    with pytest.raises(TypeError, match="map\\(\\) items"):
+        next(
+            compiled_pipe.map(
+                [("a", "b")], height=64, width=64, num_inference_steps=2
+            )
+        )
+
+
 def test_fused_loop_rekeys_on_step_count_change():
     """A fused loop built for N steps must not be reused for M != N —
     the fori_loop trip count and step-array lengths are baked in (round-1

@@ -130,3 +130,70 @@ def test_force_overrides_tunnel_gate(tmp_path, monkeypatch):
     from sfast_tpu.runtime import exec_cache
 
     assert exec_cache.exec_cache_dir() is not None
+
+
+def test_fingerprint_survives_reclone(tmp_path, monkeypatch):
+    """Identical source CONTENT under fresh mtimes (a re-clone / CI
+    checkout) must produce the same fingerprint (VERDICT r4 weak #7)."""
+    import shutil
+
+    from sfast_tpu.runtime import exec_cache
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(exec_cache.__file__))
+    )
+    # compute over the real tree, then over a copy with all-new mtimes
+    monkeypatch.setattr(exec_cache, "_FINGERPRINT", None)
+    fp_orig = exec_cache._code_fingerprint()
+
+    clone = tmp_path / "sfast_tpu"
+    shutil.copytree(
+        pkg_root, clone,
+        ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"),
+    )
+    for dirpath, _dirs, files in os.walk(clone):
+        for f in files:
+            os.utime(os.path.join(dirpath, f))  # fresh mtimes
+
+    real_abspath = os.path.abspath
+
+    def fake_abspath(p):
+        if p == exec_cache.__file__:
+            return str(clone / "runtime" / "exec_cache.py")
+        return real_abspath(p)
+
+    monkeypatch.setattr(exec_cache.os.path, "abspath", fake_abspath)
+    monkeypatch.setattr(exec_cache, "_FINGERPRINT", None)
+    fp_clone = exec_cache._code_fingerprint()
+    monkeypatch.setattr(exec_cache, "_FINGERPRINT", None)
+    assert fp_clone == fp_orig
+
+    # and a content EDIT must still miss
+    victim = clone / "version.py"
+    victim.write_text(victim.read_text() + "\n# edited\n")
+    monkeypatch.setattr(exec_cache, "_FINGERPRINT", None)
+    fp_edited = exec_cache._code_fingerprint()
+    monkeypatch.setattr(exec_cache, "_FINGERPRINT", None)
+    assert fp_edited != fp_orig
+
+
+def test_program_env_flags_change_key(tmp_path, monkeypatch):
+    """Program-changing SFAST_TPU_* flags must reach the cache key
+    (ADVICE r4 medium): flipping SFAST_TPU_CONV_BF16_OUT may not load
+    the executable compiled under the other setting."""
+    monkeypatch.setenv("SFAST_TPU_FORCE_EXEC_CACHE", "1")
+    monkeypatch.setenv("SFAST_TPU_CACHE_DIR", str(tmp_path))
+    from sfast_tpu.runtime import exec_cache
+
+    monkeypatch.delenv("SFAST_TPU_CONV_BF16_OUT", raising=False)
+    k_off = exec_cache._key_path(str(tmp_path), "probe", ("sig",))
+    monkeypatch.setenv("SFAST_TPU_CONV_BF16_OUT", "1")
+    k_on = exec_cache._key_path(str(tmp_path), "probe", ("sig",))
+    assert k_on != k_off
+    monkeypatch.setenv("SFAST_TPU_FUSED_L", "1")
+    k_fused = exec_cache._key_path(str(tmp_path), "probe", ("sig",))
+    assert k_fused not in (k_on, k_off)
+
+    # cache-plumbing flags must NOT change the key
+    monkeypatch.setenv("SFAST_TPU_EXEC_CACHE_SAVE", "0")
+    assert exec_cache._key_path(str(tmp_path), "probe", ("sig",)) == k_fused

@@ -158,14 +158,63 @@ def bench_controlnet(steps=30, size=512, repeats=3):
             "its_per_s": round(steps / (med / 1e3), 2)}
 
 
+def bench_map(steps=50, size=512, n=6):
+    """Sustained serving throughput: ``pipe.map()`` (window=2 pipelined
+    D2H overlap) vs sequential ``pipe()`` calls on the headline config.
+    The reference serves sequentially; map() exists to overlap the
+    ~94 ms/call of tunnel fixed cost (fetch + RTT) with the next image's
+    compute — this measures whether it actually does."""
+    from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
+    from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
+    from sfast_tpu.models.clip_text import (
+        SD15_TEXT_ENCODER,
+        create_text_encoder,
+        init_clip_text_params,
+    )
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+
+    dec, enc = create_vae(SD_VAE, params=zeros_on_device(lambda: init_vae_params(0, SD_VAE)))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(SD15_UNET, params=zeros_on_device(lambda: init_unet_params(1, SD15_UNET))),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(
+            SD15_TEXT_ENCODER,
+            params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
+        ),
+        scheduler=DPMSolverMultistepScheduler(),
+    )
+    sfast_tpu.compile(pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True))
+    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
+    kw = dict(height=size, width=size, num_inference_steps=steps,
+              guidance_scale=7.5)
+    pipe(prompt_ids=ids, seed=0, **kw)  # warm
+    prompts = [ids] * n
+    t0 = time.time()
+    for i in range(n):
+        out = pipe(prompt_ids=ids, seed=i, **kw)
+        assert out.images.shape[1] == size
+    seq_ms = (time.time() - t0) * 1e3 / n
+    t0 = time.time()
+    imgs = [out.images for out in pipe.map(prompts, window=2, seed=0, **kw)]
+    map_ms = (time.time() - t0) * 1e3 / n
+    assert len(imgs) == n and imgs[0].shape[1] == size
+    return {"metric": f"sd15_map_{steps}step_ms_per_image", "value": round(map_ms, 1),
+            "unit": "ms", "sequential_ms_per_image": round(seq_ms, 1),
+            "overlap_win_ms": round(seq_ms - map_ms, 1),
+            "images_per_min": round(60e3 / map_ms, 2), "n": n}
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["lcm", "sdxl", "controlnet"])
+    ap.add_argument("config", choices=["lcm", "sdxl", "controlnet", "map"])
     ap.add_argument("--steps", type=int, default=None)
     args = ap.parse_args()
     if args.config == "lcm":
         print(json.dumps(bench_lcm(steps=args.steps or 4)))
     elif args.config == "controlnet":
         print(json.dumps(bench_controlnet(steps=args.steps or 30)))
+    elif args.config == "map":
+        print(json.dumps(bench_map(steps=args.steps or 50)))
     else:
         print(json.dumps(bench_sdxl(steps=args.steps or 30)))

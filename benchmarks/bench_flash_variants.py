@@ -39,14 +39,11 @@ REPS = 5
 
 VARIANTS = {
     "base": dict(dimsem=False),
-    "1kv@4096": dict(dimsem=False, block_k=4096),  # control: whole kv, no stagger
     "2kv@4096": dict(dimsem=False, block_k=4096, kv_stages=2),
     "4kv@4096": dict(dimsem=False, block_k=4096, kv_stages=4),
-    "2kv@4096-bq2048": dict(dimsem=False, block_q=2048, block_k=4096, kv_stages=2),
     "2kv@4096+fusedl": dict(
         dimsem=False, block_k=4096, kv_stages=2, _env={"SFAST_TPU_FUSED_L": "1"}
     ),
-    "base+fusedl": dict(dimsem=False, _env={"SFAST_TPU_FUSED_L": "1"}),
 }
 
 

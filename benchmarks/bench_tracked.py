@@ -45,6 +45,12 @@ CONFIGS = {
         "env": {"SVD_TRACKED": "1", "SVD_STEPS": "25"},
         "ref": ("e2e_s", 47.0),
     },
+    "map": {
+        # sustained serving throughput (no reference analog: the
+        # reference serves sequentially) — VERDICT r4 next-step #8
+        "cmd": [sys.executable, os.path.join(REPO, "benchmarks", "bench_extra_configs.py"), "map"],
+        "ref": None,
+    },
 }
 
 

@@ -47,6 +47,7 @@ def unet_config_from_diffusers(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> UNetC
         norm_num_groups=cfg.get("norm_num_groups", 32),
         flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
         freq_shift=cfg.get("freq_shift", 0),
+        time_cond_proj_dim=cfg.get("time_cond_proj_dim"),
         dtype=dtype,
     )
 
@@ -121,10 +122,14 @@ def _spatial_transformer(sd, pre, depth, use_linear, dt):
 
 
 def _time_embedding(sd, pre, dt):
-    return {
+    p = {
         "linear_1": _lin(sd, pre + "linear_1", dt),
         "linear_2": _lin(sd, pre + "linear_2", dt),
     }
+    if pre + "cond_proj.weight" in sd:
+        # LCM guidance-embedding projection (bias-free in diffusers)
+        p["cond_proj"] = _lin(sd, pre + "cond_proj", dt, bias=False)
+    return p
 
 
 def convert_unet_params(sd: dict, cfg: UNetConfig):

@@ -81,6 +81,8 @@ def _put_spatial_transformer(sd, pre, p, use_linear):
 def _put_time_embedding(sd, pre, p):
     _put_lin(sd, pre + "linear_1", p["linear_1"])
     _put_lin(sd, pre + "linear_2", p["linear_2"])
+    if "cond_proj" in p:  # LCM guidance projection (bias-free)
+        _put_lin(sd, pre + "cond_proj", p["cond_proj"])
 
 
 def export_unet_state_dict(params, cfg: UNetConfig) -> Dict:

@@ -253,17 +253,56 @@ def sinusoidal_timestep_embedding(
     return out
 
 
-def init_time_embedding(rng, cin: int, time_dim: int, dtype=jnp.bfloat16) -> Params:
+def init_time_embedding(
+    rng,
+    cin: int,
+    time_dim: int,
+    dtype=jnp.bfloat16,
+    cond_proj_dim: Optional[int] = None,
+) -> Params:
     gen = as_host_rng(rng)
-    return {
+    p = {
         "linear_1": init_linear(gen, cin, time_dim, dtype=dtype),
         "linear_2": init_linear(gen, time_dim, time_dim, dtype=dtype),
     }
+    if cond_proj_dim is not None:
+        # LCM guidance-embedding projection (diffusers TimestepEmbedding
+        # cond_proj, bias-free): distilled LCM checkpoints condition the
+        # UNet on an embedded guidance scale instead of CFG batching
+        p["cond_proj"] = init_linear(
+            gen, cond_proj_dim, cin, bias=False, dtype=dtype
+        )
+    return p
 
 
-def time_embedding_fwd(p: Params, t_emb: jax.Array) -> jax.Array:
+def time_embedding_fwd(
+    p: Params, t_emb: jax.Array, cond: Optional[jax.Array] = None
+) -> jax.Array:
+    if cond is not None and "cond_proj" in p:
+        t_emb = t_emb + apply_linear(p["cond_proj"], cond.astype(t_emb.dtype))
     h = apply_linear(p["linear_1"], t_emb, act="silu")
     return apply_linear(p["linear_2"], h)
+
+
+def guidance_scale_embedding(
+    w: jax.Array, dim: int, dtype=jnp.float32
+) -> jax.Array:
+    """Sinusoidal embedding of a guidance weight, matching diffusers'
+    ``LatentConsistencyModelPipeline.get_guidance_scale_embedding``
+    (w is scaled by 1000; half sin, half cos over log-spaced freqs).
+    The caller passes ``w = guidance_scale - 1`` per the LCM paper.
+
+    ``w`` may be a scalar or (B,); returns (B, dim)."""
+    w = jnp.atleast_1d(w).astype(jnp.float32) * 1000.0
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    emb = w[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb.astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,12 @@ class UNetConfig:
     norm_num_groups: int = 32
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # LCM distilled checkpoints (e.g. SimianLuo/LCM_Dreamshaper_v7):
+    # width of the guidance-scale embedding projected into the time
+    # embedding via time_embedding.cond_proj (diffusers
+    # UNet2DConditionModel(time_cond_proj_dim=256)); forward then takes
+    # ``timestep_cond`` and the pipeline skips CFG batching entirely
+    time_cond_proj_dim: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -125,7 +131,11 @@ def init_unet_params(rng, cfg: UNetConfig):
             next(keys), 3, 3, cfg.in_channels, cfg.block_out_channels[0], dtype=dt
         ),
         "time_embedding": L.init_time_embedding(
-            next(keys), cfg.block_out_channels[0], cfg.time_embed_dim, dtype=dt
+            next(keys),
+            cfg.block_out_channels[0],
+            cfg.time_embed_dim,
+            dtype=dt,
+            cond_proj_dim=cfg.time_cond_proj_dim,
         ),
     }
     if cfg.addition_embed_type == "text_time":
@@ -275,13 +285,16 @@ def unet_fwd(
     encoder_hidden_states: jax.Array,
     *,
     added_cond_kwargs: Optional[dict] = None,
+    timestep_cond: Optional[jax.Array] = None,
     down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
     mid_block_additional_residual: Optional[jax.Array] = None,
     ip_adapter_embeds: Optional[jax.Array] = None,
     ip_adapter_scale: float = 1.0,
 ) -> jax.Array:
     """sample: (B, H, W, C_in) NHWC latents; timesteps: () or (B,);
-    encoder_hidden_states: (B, S, cross_dim).  Returns predicted noise
+    encoder_hidden_states: (B, S, cross_dim); timestep_cond: optional
+    (B, time_cond_proj_dim) LCM guidance embedding (diffusers
+    ``unet(..., timestep_cond=w_embedding)``).  Returns predicted noise
     (B, H, W, C_out)."""
     be = _backends(ccfg)
     groups = cfg.norm_num_groups
@@ -296,7 +309,9 @@ def unet_fwd(
         flip_sin_to_cos=cfg.flip_sin_to_cos,
         freq_shift=cfg.freq_shift,
     ).astype(cfg.dtype)
-    emb = L.time_embedding_fwd(params["time_embedding"], t_emb)
+    emb = L.time_embedding_fwd(
+        params["time_embedding"], t_emb, cond=timestep_cond
+    )
 
     if cfg.addition_embed_type == "text_time":
         ac = added_cond_kwargs or {}

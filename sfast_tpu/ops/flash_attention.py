@@ -28,6 +28,7 @@ reference's operator tests (``tests/operators/*`` rtol/atol 1e-3..3e-2).
 import functools
 import math
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -417,8 +418,13 @@ def flash_attention(
     # 1447, (4096,512) → 1322, (1024,1024)/(2048,1024) → **1206 ms**;
     # (2048,2048) exceeds VMEM.  Large k blocks amortize the online-
     # softmax carry; (1024,1024) keeps ~7 MB VMEM headroom.
+    # block_k=None = auto: at the SD-class hot shape (kv 4096, d ≤ 64)
+    # the whole kv rides in VMEM as one block split into 2 staged
+    # sub-blocks — measured 0.877 vs 0.938 ms/call (-6.5%) at
+    # bf16[16,4096,64] (v5e two-point chains, 2026-08-19,
+    # benchmarks/bench_flash_variants.py); other shapes keep (1024,1024).
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: Optional[int] = None,
     softmax_dtype=jnp.float32,
     interpret: bool = False,
     kv_stages: int = 1,
@@ -443,6 +449,12 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     out_dtype = q.dtype
+    if block_k is None:
+        if sk == 4096 and d <= 64:
+            # measured fast point (see block_k docstring above)
+            block_k, kv_stages = 4096, 2
+        else:
+            block_k = 1024
 
     # fold log₂e into the prescale: all in-kernel exps become bare exp2
     q = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(batch * heads, sq, d)

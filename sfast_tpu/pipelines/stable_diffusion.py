@@ -34,6 +34,7 @@ from sfast_tpu.utils.image import (
     preprocess_control_image,
     preprocess_control_image_u8,
     preprocess_image,
+    preprocess_mask_image,
     to_pil,
 )
 
@@ -253,8 +254,10 @@ class StableDiffusionPipeline:
         ids = ids.at[:, 1].set(eos)
         return ids
 
-    def encode_prompt(self, prompt_ids, negative_prompt_ids=None):
-        """Returns CFG-stacked embeddings (2B, S, D): [uncond; cond]."""
+    def encode_prompt(self, prompt_ids, negative_prompt_ids=None, do_cfg=True):
+        """Returns CFG-stacked embeddings (2B, S, D): [uncond; cond] —
+        or just the cond half (B, S, D) when ``do_cfg=False`` (guidance
+        ≤ 1 / LCM-distilled models: no uncond pass at all)."""
         out = self.text_encoder(
             prompt_ids,
             output_hidden_states=(self.clip_skip_mode == "penultimate"),
@@ -264,6 +267,8 @@ class StableDiffusionPipeline:
             if self.clip_skip_mode == "penultimate"
             else out["last_hidden_state"]
         )
+        if not do_cfg:
+            return cond
         if negative_prompt_ids is None:
             negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
         nout = self.text_encoder(
@@ -277,19 +282,35 @@ class StableDiffusionPipeline:
         )
         return jnp.concatenate([uncond, cond], axis=0)
 
+    @property
+    def _lcm_cond_dim(self):
+        """time_cond_proj_dim of the UNet when it is an LCM-distilled
+        checkpoint (guidance enters as an embedded scale, not CFG)."""
+        return getattr(self.unet_model.config, "time_cond_proj_dim", None)
+
     # -- denoising --------------------------------------------------------
     def _unet_eps(
         self, state, i, latents, t, context, guidance_scale,
         control_image=None, control_scale=1.0,
         ip_embeds=None, ip_scale=1.0,
+        use_cfg=True, timestep_cond=None,
     ):
         """One CFG-batched UNet evaluation + guidance combine, with
         optional ControlNet residual branch (SURVEY.md §3.4: controlnet
-        forward precedes each UNet forward) and IP-Adapter image tokens."""
-        lat_in = jnp.concatenate([latents, latents], axis=0)
+        forward precedes each UNet forward) and IP-Adapter image tokens.
+
+        ``use_cfg=False`` runs the single-batch path (guidance ≤ 1 /
+        LCM-distilled models): half the UNet FLOPs, no split/combine.
+        ``timestep_cond`` threads the LCM guidance embedding."""
+        if use_cfg:
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+        else:
+            lat_in = latents
         lat_in = self.scheduler.scale_model_input(state, lat_in, i)
         tt = jnp.broadcast_to(t, (lat_in.shape[0],))
         unet_kwargs = {}
+        if timestep_cond is not None:
+            unet_kwargs["timestep_cond"] = timestep_cond
         if ip_embeds is not None:
             unet_kwargs["ip_adapter_embeds"] = ip_embeds
             unet_kwargs["ip_adapter_scale"] = ip_scale
@@ -303,6 +324,8 @@ class StableDiffusionPipeline:
                 mid_block_additional_residual=mid_res,
             )
         eps = self.unet(lat_in, tt, context, **unet_kwargs)
+        if not use_cfg:
+            return eps
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
@@ -312,13 +335,20 @@ class StableDiffusionPipeline:
         *,
         with_control: bool = False,
         with_ip: bool = False,
+        use_cfg: bool = True,
+        tcond_dim=None,
     ):
         """One executable for the entire denoise loop (lax.fori_loop).
 
         ControlNet and IP-Adapter branches compile INTO the loop (their
         conditioning tensors are loop-invariant) — without this the
         ControlNet config pays ~8 dispatch round trips per step
-        (measured: 22.3 → see STATUS for the fused number)."""
+        (measured: 22.3 → see STATUS for the fused number).
+
+        ``use_cfg=False`` bakes the single-batch (no uncond) loop;
+        ``tcond_dim`` bakes the LCM guidance-embedding width — the
+        w-embedding is computed from the traced guidance scale INSIDE
+        the executable (loop-invariant, hoisted by XLA)."""
         unet_apply = self.unet_model.apply_fn(self._ccfg)
         cn_apply = None
         if with_control:
@@ -356,14 +386,28 @@ class StableDiffusionPipeline:
                 from sfast_tpu.models.controlnet import controlnet_cond_embed
 
                 ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl)
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(
+                        guidance_scale - 1.0, tcond_dim
+                    ),
+                    (latents.shape[0], tcond_dim),
+                )
 
             def body(i, carry):
                 lat, st, key = carry
-                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = (
+                    jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
+                )
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
                 kwargs = {}
+                if tcond is not None:
+                    kwargs["timestep_cond"] = tcond
                 if with_ip:
                     kwargs["ip_adapter_embeds"] = ip_embeds
                     kwargs["ip_adapter_scale"] = ip_scale
@@ -378,8 +422,9 @@ class StableDiffusionPipeline:
                         mid_block_additional_residual=mid_res,
                     )
                 eps = unet_apply(params, lat_in, tt, context, **kwargs)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if use_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
                     key, sub = jax.random.split(key)
                     noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -397,7 +442,9 @@ class StableDiffusionPipeline:
             loop,
             name=f"denoise_loop_{num_steps}"
             + ("_cn" if with_control else "")
-            + ("_ip" if with_ip else ""),
+            + ("_ip" if with_ip else "")
+            + ("" if use_cfg else "_nocfg")
+            + (f"_tc{tcond_dim}" if tcond_dim else ""),
         )
 
     def _build_fused_pipeline(
@@ -408,6 +455,8 @@ class StableDiffusionPipeline:
         with_control: bool = False,
         ctrl_is_u8: bool = False,
         with_ip: bool = False,
+        use_cfg: bool = True,
+        tcond_dim=None,
     ):
         """ONE executable for the whole text2img call: prompt encode →
         latent init → N-step denoise loop → VAE decode → uint8 image.
@@ -478,18 +527,22 @@ class StableDiffusionPipeline:
             *,
             lat_shape,
         ):
-            if synth_uncond:
-                # [BOS, EOS, pad...] built on device, inside this same
-                # executable (3 fewer host dispatches per call)
-                neg = jnp.full_like(prompt_ids, pad_id)
-                neg = neg.at[:, 0].set(prompt_ids[:, 0])
-                neg = neg.at[:, 1].set(eos)
+            if not use_cfg:
+                # guidance ≤ 1 / LCM: no uncond text-encoder pass at all
+                context = encode(te_params, prompt_ids)
             else:
-                neg = neg_ids
-            context = jnp.concatenate(
-                [encode(te_params, neg), encode(te_params, prompt_ids)],
-                axis=0,
-            )
+                if synth_uncond:
+                    # [BOS, EOS, pad...] built on device, inside this same
+                    # executable (3 fewer host dispatches per call)
+                    neg = jnp.full_like(prompt_ids, pad_id)
+                    neg = neg.at[:, 0].set(prompt_ids[:, 0])
+                    neg = neg.at[:, 1].set(eos)
+                else:
+                    neg = neg_ids
+                context = jnp.concatenate(
+                    [encode(te_params, neg), encode(te_params, prompt_ids)],
+                    axis=0,
+                )
             # unpack packed params ONCE, before the loop: left inside the
             # body, XLA re-carves (and re-tiles) all ~1.7 GB of weights
             # every step (+280 ms/image, measured 2026-08)
@@ -503,10 +556,21 @@ class StableDiffusionPipeline:
                 if ctrl_is_u8:
                     # uint8 crossed the link; [0,1]-normalize on device
                     ctrl_in = (ctrl_in.astype(jnp.float32) / 255.0).astype(dtype)
-                ctrl_in = jnp.concatenate([ctrl_in, ctrl_in], axis=0)  # CFG
+                if use_cfg:
+                    ctrl_in = jnp.concatenate([ctrl_in, ctrl_in], axis=0)
                 # pixel-res hint conv stack on a loop-invariant input:
                 # once per call, not once per step
                 ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl_in)
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(
+                        guidance_scale - 1.0, tcond_dim
+                    ),
+                    (lat_shape[0], tcond_dim),
+                )
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, lat_shape, jnp.float32)
@@ -523,11 +587,15 @@ class StableDiffusionPipeline:
 
             def body(i, carry):
                 lat, st, key = carry
-                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = (
+                    jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
+                )
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
                 kwargs = {}
+                if tcond is not None:
+                    kwargs["timestep_cond"] = tcond
                 if with_ip:
                     kwargs["ip_adapter_embeds"] = ip_embeds
                     kwargs["ip_adapter_scale"] = ip_scale
@@ -542,8 +610,9 @@ class StableDiffusionPipeline:
                         mid_block_additional_residual=mid_res,
                     )
                 eps = unet_apply(unet_params_u, lat_in, tt, context, **kwargs)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if use_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
                     key, sub = jax.random.split(key)
                     noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -562,9 +631,39 @@ class StableDiffusionPipeline:
             run,
             name=f"sd_pipeline_{num_steps}"
             + ("_cn8" if (with_control and ctrl_is_u8) else "_cn" if with_control else "")
-            + ("_ip" if with_ip else ""),
+            + ("_ip" if with_ip else "")
+            + ("" if use_cfg else "_nocfg")
+            + (f"_tc{tcond_dim}" if tcond_dim else ""),
             static_argnames=("lat_shape",),
         )
+
+    def _inpaint_blend(
+        self, state, latents, keep_mask, init_f32, noise, i, num_steps
+    ):
+        """Masked-latent blend for inpainting with a standard (non-
+        inpaint-UNet) model — the algorithm diffusers applies when
+        ``StableDiffusionInpaintPipeline`` runs a 4-channel UNet, which
+        the reference compiles transparently (README.md:371 "Image
+        Inpainting: Yes" via its pipeline-agnostic compiler).
+
+        After step ``i`` the PRESERVED region (keep_mask == 1) is the
+        original encoded latents forward-noised to the NEXT timestep —
+        so it sits at exactly the noise level the next UNet evaluation
+        expects — and clean at the final step; the repaint region keeps
+        the denoised trajectory."""
+        if i < num_steps - 1:
+            if hasattr(self.scheduler, "add_noise"):
+                init_proper = self.scheduler.add_noise(
+                    state, init_f32, noise, i + 1
+                )
+            else:
+                init_proper = add_noise(state, init_f32, noise, i + 1)
+        else:
+            init_proper = init_f32
+        out = keep_mask * init_proper + (1.0 - keep_mask) * latents.astype(
+            jnp.float32
+        )
+        return out.astype(latents.dtype)
 
     # -- main entry --------------------------------------------------------
     def __call__(
@@ -581,6 +680,7 @@ class StableDiffusionPipeline:
         latents: Optional[jnp.ndarray] = None,
         image=None,
         strength: float = 0.8,
+        mask_image=None,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
         ip_adapter_embeds: Optional[jnp.ndarray] = None,
@@ -624,10 +724,19 @@ class StableDiffusionPipeline:
             and (control_image is None or self.controlnet is not None)
             and output_type in ("np", "pil", "device")
         )
+        # no-CFG fast path: LCM-distilled UNets take guidance as an
+        # embedded scale (time_cond_proj_dim), and any model at
+        # guidance ≤ 1 needs no uncond branch — either way the CFG
+        # double batch would be 2x UNet FLOPs for nothing (SDXL-Turbo /
+        # LCM semantics, diffusers do_classifier_free_guidance=False)
+        tcond_dim = self._lcm_cond_dim
+        use_cfg = tcond_dim is None and guidance_scale > 1.0
         context = (
             None
             if use_full_early
-            else self.encode_prompt(prompt_ids, negative_prompt_ids)
+            else self.encode_prompt(
+                prompt_ids, negative_prompt_ids, do_cfg=use_cfg
+            )
         )
 
         if not use_full_early:
@@ -635,6 +744,7 @@ class StableDiffusionPipeline:
 
         state = self._scheduler_state(num_inference_steps)
         start_index = 0
+        keep_mask = None
         if image is not None:
             # img2img: encode, noise to the strength point
             if self.vae_encode is None:
@@ -661,6 +771,16 @@ class StableDiffusionPipeline:
             else:
                 latents = add_noise(state, z.astype(jnp.float32), noise, start_index)
             latents = latents.astype(self.dtype)
+            if mask_image is not None:
+                # inpainting: per-step masked-latent blend against the
+                # ORIGINAL encoded latents (see _inpaint_blend); reuses
+                # the img2img forward-noise tensor so the preserved
+                # region follows one consistent noise trajectory
+                keep_mask = preprocess_mask_image(mask_image, lh, lw)
+                inpaint_init = z.astype(jnp.float32)
+                inpaint_noise = noise
+        elif mask_image is not None:
+            raise ValueError("inpainting requires `image` with `mask_image`")
         elif latents is None and not use_full_early:
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, (b, lh, lw, lat_c), jnp.float32)
@@ -684,13 +804,15 @@ class StableDiffusionPipeline:
                 )
             else:
                 ctrl = preprocess_control_image(control_image, self.dtype)
-                ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
+                if use_cfg:
+                    ctrl = jnp.concatenate([ctrl, ctrl], axis=0)  # CFG batch
 
         gs = self._dev_scalar(guidance_scale)
         use_fused = (
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
             and start_index == 0
+            and keep_mask is None  # inpaint blends per step (stepwise)
         )
         use_full = use_fused and use_full_early
         if use_full:
@@ -702,7 +824,7 @@ class StableDiffusionPipeline:
             with_ip = ip_adapter_embeds is not None
             fkey = (
                 "full", num_inference_steps, synth,
-                with_control, ctrl_u8, with_ip,
+                with_control, ctrl_u8, with_ip, use_cfg, tcond_dim,
             )
             fp = self._fused_loops.get(fkey)
             if fp is None:
@@ -712,6 +834,8 @@ class StableDiffusionPipeline:
                     with_control=with_control,
                     ctrl_is_u8=ctrl_u8,
                     with_ip=with_ip,
+                    use_cfg=use_cfg,
+                    tcond_dim=tcond_dim,
                 )
                 self._fused_loops[fkey] = fp
             if negative_prompt_ids is None:
@@ -763,33 +887,51 @@ class StableDiffusionPipeline:
         if use_fused:
             with_control = ctrl is not None
             with_ip = ip_adapter_embeds is not None
-            lkey = (num_inference_steps, with_control, with_ip)
+            lkey = (
+                num_inference_steps, with_control, with_ip, use_cfg,
+                tcond_dim,
+            )
             fused = self._fused_loops.get(lkey)
             if fused is None:
                 fused = self._build_fused_loop(
                     num_inference_steps,
                     with_control=with_control,
                     with_ip=with_ip,
+                    use_cfg=use_cfg,
+                    tcond_dim=tcond_dim,
                 )
                 self._fused_loops[lkey] = fused
             # CompiledModel and Model both expose .params (the compiled
             # wrapper forwards to its live, hot-swappable tree)
             params = self.unet.params
             cn_params = self.controlnet.params if with_control else None
-            key, sub = jax.random.split(key)
+            # pass the key state as-is: the loop body splits once per
+            # step exactly like the stepwise path, so noise-needing
+            # schedulers (LCM, ancestral Euler) produce IDENTICAL
+            # latents on both paths (an extra split here had the fused
+            # path drawing from a sibling key stream)
             latents = fused(
-                params, cn_params, latents, context, state, gs, sub,
+                params, cn_params, latents, context, state, gs, key,
                 ctrl, ctrl_scale,
                 ip_adapter_embeds, self._dev_scalar(ip_adapter_scale),
             )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(gs - 1.0, tcond_dim),
+                    (latents.shape[0], tcond_dim),
+                )
             for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
                 eps = self._unet_eps(
                     state, i, latents, t, context, gs,
                     control_image=ctrl, control_scale=ctrl_scale,
                     ip_embeds=ip_adapter_embeds, ip_scale=ip_adapter_scale,
+                    use_cfg=use_cfg, timestep_cond=tcond,
                 )
                 if needs_noise:
                     key, sub = jax.random.split(key)
@@ -799,6 +941,11 @@ class StableDiffusionPipeline:
                     )
                 else:
                     latents, state = self.scheduler.step(state, eps, i, latents)
+                if keep_mask is not None:
+                    latents = self._inpaint_blend(
+                        state, latents, keep_mask, inpaint_init,
+                        inpaint_noise, i, num_inference_steps,
+                    )
                 if callback_on_step_end is not None:
                     callback_on_step_end(self, i, t, {"latents": latents})
 

@@ -94,19 +94,23 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         out = np.where(after & has_eos[:, None], pad2, ids)
         return jnp.asarray(out, jnp.int32)
 
-    def _time_ids(self, original_size, crops, target_size, b) -> jax.Array:
+    def _time_ids(
+        self, original_size, crops, target_size, b, use_cfg=True
+    ) -> jax.Array:
         """SDXL micro-conditioning ids, cached on device by value (fresh
         ``jnp.asarray``+``tile`` per call is two buffer round trips inside
-        the timed region on a tunneled device)."""
+        the timed region on a tunneled device).  CFG-doubled rows only
+        when the uncond branch runs."""
+        rows = 2 * b if use_cfg else b
         return self._dev_const(
             ("time_ids", tuple(original_size), tuple(crops),
-             tuple(target_size), b),
+             tuple(target_size), rows),
             lambda: jnp.tile(
                 jnp.asarray(
                     [list(original_size) + list(crops) + list(target_size)],
                     jnp.float32,
                 ),
-                (2 * b, 1),
+                (rows, 1),
             ),
         )
 
@@ -119,10 +123,14 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         pooled = out2["text_embeds"]
         return h, pooled
 
-    def _build_fused_loop_xl(self, num_steps: int):
+    def _build_fused_loop_xl(
+        self, num_steps: int, *, use_cfg: bool = True, tcond_dim=None
+    ):
         """SDXL denoise loop as ONE executable (micro-conditioning
         tensors are loop-invariant) — same dispatch-amortization story
-        as the base pipeline's fused loop."""
+        as the base pipeline's fused loop.  ``use_cfg=False`` bakes the
+        single-batch path (SDXL-Turbo / guidance ≤ 1 / LCM-distilled);
+        ``tcond_dim`` threads the LCM guidance embedding."""
         unet_apply = self.unet_model.apply_fn(self._ccfg)
         scheduler = self.scheduler
         needs_noise = getattr(scheduler, "needs_noise", False)
@@ -133,18 +141,33 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         ):
             params = maybe_unpack(params)  # hoist out of the loop body
             added = {"text_embeds": text_embeds, "time_ids": time_ids}
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
+                    (latents.shape[0], tcond_dim),
+                )
 
             def body(i, carry):
                 lat, st, key = carry
-                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = (
+                    jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
+                )
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                kwargs = {}
+                if tcond is not None:
+                    kwargs["timestep_cond"] = tcond
                 eps = unet_apply(
-                    params, lat_in, tt, context, added_cond_kwargs=added
+                    params, lat_in, tt, context, added_cond_kwargs=added,
+                    **kwargs,
                 )
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if use_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
                     key, sub = jax.random.split(key)
                     noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -158,9 +181,21 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             )
             return lat
 
-        return LazyCompiledFunction(loop, name=f"denoise_loop_xl_{num_steps}")
+        return LazyCompiledFunction(
+            loop,
+            name=f"denoise_loop_xl_{num_steps}"
+            + ("" if use_cfg else "_nocfg")
+            + (f"_tc{tcond_dim}" if tcond_dim else ""),
+        )
 
-    def _build_fused_pipeline_xl(self, num_steps: int, zero_uncond: bool):
+    def _build_fused_pipeline_xl(
+        self,
+        num_steps: int,
+        zero_uncond: bool,
+        *,
+        use_cfg: bool = True,
+        tcond_dim=None,
+    ):
         """ONE executable for the whole SDXL text2img call: dual prompt
         encode → latent init → N-step loop → VAE decode → uint8 — the
         same single-dispatch amortization as the base pipeline's
@@ -210,18 +245,33 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             cond, pooled_c = encode_pair(
                 te_params, te2_params, prompt_ids, prompt_ids_2
             )
-            if zero_uncond:
-                uncond = jnp.zeros_like(cond)
-                pooled_u = jnp.zeros_like(pooled_c)
+            if not use_cfg:
+                # single-batch path: no uncond embeddings at all
+                context = cond
+                added = {"text_embeds": pooled_c, "time_ids": time_ids}
             else:
-                uncond, pooled_u = encode_pair(
-                    te_params, te2_params, neg_ids, neg_ids_2
+                if zero_uncond:
+                    uncond = jnp.zeros_like(cond)
+                    pooled_u = jnp.zeros_like(pooled_c)
+                else:
+                    uncond, pooled_u = encode_pair(
+                        te_params, te2_params, neg_ids, neg_ids_2
+                    )
+                context = jnp.concatenate([uncond, cond], axis=0)
+                added = {
+                    "text_embeds": jnp.concatenate(
+                        [pooled_u, pooled_c], axis=0
+                    ),
+                    "time_ids": time_ids,
+                }
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
+                    (lat_shape[0], tcond_dim),
                 )
-            context = jnp.concatenate([uncond, cond], axis=0)
-            added = {
-                "text_embeds": jnp.concatenate([pooled_u, pooled_c], axis=0),
-                "time_ids": time_ids,
-            }
             unet_params_u = maybe_unpack(unet_params)  # hoist above the loop
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
@@ -239,15 +289,22 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
             def body(i, carry):
                 lat, st, key = carry
-                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = (
+                    jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
+                )
                 lat_in = scheduler.scale_model_input(st, lat_in, i)
                 t = st["timesteps"][i]
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                kwargs = {}
+                if tcond is not None:
+                    kwargs["timestep_cond"] = tcond
                 eps = unet_apply(
-                    unet_params_u, lat_in, tt, context, added_cond_kwargs=added
+                    unet_params_u, lat_in, tt, context,
+                    added_cond_kwargs=added, **kwargs,
                 )
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if use_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if needs_noise:
                     key, sub = jax.random.split(key)
                     noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -264,7 +321,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
         return LazyCompiledFunction(
             run,
-            name=f"sdxl_pipeline_{num_steps}",
+            name=f"sdxl_pipeline_{num_steps}"
+            + ("" if use_cfg else "_nocfg")
+            + (f"_tc{tcond_dim}" if tcond_dim else ""),
             static_argnames=("lat_shape",),
         )
 
@@ -284,6 +343,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         latents: Optional[jnp.ndarray] = None,
         image=None,
         strength: float = 0.8,
+        mask_image=None,
         original_size=None,
         crops_coords_top_left=(0, 0),
         target_size=None,
@@ -301,6 +361,10 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                 None, negative_prompt_ids
             )
         b = prompt_ids.shape[0]
+        # no-CFG fast path (SDXL Turbo at guidance ≤ 1, LCM-distilled
+        # UNets with time_cond_proj_dim): single batch, no uncond encode
+        tcond_dim = self._lcm_cond_dim
+        use_cfg = tcond_dim is None and guidance_scale > 1.0
 
         use_full = (
             self._ccfg.fuse_denoising_loop
@@ -309,6 +373,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             and image is None
             and output_type in ("np", "pil")
         )
+        if mask_image is not None and image is None:
+            raise ValueError("inpainting requires `image` with `mask_image`")
         if use_full:
             return self._call_fused_full(
                 prompt_ids, prompt_ids_2,
@@ -323,11 +389,15 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             )
 
         cond, pooled_c = self.encode_prompt_xl(prompt_ids, prompt_ids_2)
-        if negative_prompt_ids is None and negative_prompt_ids_2 is None:
+        if not use_cfg:
+            context, pooled = cond, pooled_c
+        elif negative_prompt_ids is None and negative_prompt_ids_2 is None:
             # diffusers SDXL default (force_zeros_for_empty_prompt=True):
             # the uncond branch is ZERO EMBEDDINGS, not an encoded ""
             uncond = jnp.zeros_like(cond)
             pooled_u = jnp.zeros_like(pooled_c)
+            context = jnp.concatenate([uncond, cond], axis=0)
+            pooled = jnp.concatenate([pooled_u, pooled_c], axis=0)
         else:
             if negative_prompt_ids is None:
                 negative_prompt_ids = self._empty_prompt_ids(prompt_ids)
@@ -336,13 +406,14 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             uncond, pooled_u = self.encode_prompt_xl(
                 negative_prompt_ids, negative_prompt_ids_2
             )
-        context = jnp.concatenate([uncond, cond], axis=0)
-        pooled = jnp.concatenate([pooled_u, pooled_c], axis=0)
+            context = jnp.concatenate([uncond, cond], axis=0)
+            pooled = jnp.concatenate([pooled_u, pooled_c], axis=0)
 
         original_size = original_size or (height, width)
         target_size = target_size or (height, width)
         time_ids = self._time_ids(
-            original_size, crops_coords_top_left, target_size, b
+            original_size, crops_coords_top_left, target_size, b,
+            use_cfg=use_cfg,
         )
         added = {"text_embeds": pooled, "time_ids": time_ids}
 
@@ -351,6 +422,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         state = self._scheduler_state(num_inference_steps)
         key = jax.random.key(seed)
         start_index = 0
+        keep_mask = None
         if image is not None:
             # img2img: encode, then forward-noise to the strength point —
             # same path as the base pipeline (stable_diffusion.py) with
@@ -382,6 +454,16 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                     state, z.astype(jnp.float32), noise, start_index
                 )
             latents = latents.astype(self.dtype)
+            if mask_image is not None:
+                # inpainting: per-step masked-latent blend (see the base
+                # pipeline's _inpaint_blend) on the SDXL latent grid
+                from sfast_tpu.utils.image import preprocess_mask_image
+
+                keep_mask = preprocess_mask_image(
+                    mask_image, height // sf, width // sf
+                )
+                inpaint_init = z.astype(jnp.float32)
+                inpaint_noise = noise
         elif latents is None:
             key, sub = jax.random.split(key)
             latents = jax.random.normal(
@@ -399,12 +481,15 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             self._ccfg.fuse_denoising_loop
             and callback_on_step_end is None
             and start_index == 0
+            and keep_mask is None  # inpaint blends per step (stepwise)
         )
         if use_fused:
-            lkey = ("xl", num_inference_steps)
+            lkey = ("xl", num_inference_steps, use_cfg, tcond_dim)
             fused = self._fused_loops.get(lkey)
             if fused is None:
-                fused = self._build_fused_loop_xl(num_inference_steps)
+                fused = self._build_fused_loop_xl(
+                    num_inference_steps, use_cfg=use_cfg, tcond_dim=tcond_dim
+                )
                 self._fused_loops[lkey] = fused
             from sfast_tpu.compilers.diffusion_pipeline_compiler import (
                 CompiledModel,
@@ -415,21 +500,41 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                 if isinstance(self.unet, CompiledModel)
                 else self.unet_model.params
             )
-            key, sub = jax.random.split(key)
+            # pass the key as-is (no extra split): the loop body splits
+            # once per step exactly like the stepwise path below, so
+            # noise-needing schedulers match across paths
             latents = fused(
-                params, latents, context, state, gs, sub,
+                params, latents, context, state, gs, key,
                 added["text_embeds"], added["time_ids"],
             )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
+            tcond = None
+            if tcond_dim is not None:
+                from sfast_tpu.models.layers import guidance_scale_embedding
+
+                tcond = jnp.broadcast_to(
+                    guidance_scale_embedding(gs - 1.0, tcond_dim),
+                    (latents.shape[0], tcond_dim),
+                )
             for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
-                lat_in = jnp.concatenate([latents, latents], axis=0)
+                lat_in = (
+                    jnp.concatenate([latents, latents], axis=0)
+                    if use_cfg
+                    else latents
+                )
                 lat_in = self.scheduler.scale_model_input(state, lat_in, i)
                 tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                eps = self.unet(lat_in, tt, context, added_cond_kwargs=added)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + gs * (eps_c - eps_u)
+                kwargs = {}
+                if tcond is not None:
+                    kwargs["timestep_cond"] = tcond
+                eps = self.unet(
+                    lat_in, tt, context, added_cond_kwargs=added, **kwargs
+                )
+                if use_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + gs * (eps_c - eps_u)
                 if needs_noise:
                     key, sub = jax.random.split(key)
                     step_noise = jax.random.normal(
@@ -440,6 +545,11 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                     )
                 else:
                     latents, state = self.scheduler.step(state, eps, i, latents)
+                if keep_mask is not None:
+                    latents = self._inpaint_blend(
+                        state, latents, keep_mask, inpaint_init,
+                        inpaint_noise, i, num_inference_steps,
+                    )
                 if callback_on_step_end is not None:
                     callback_on_step_end(self, i, t, {"latents": latents})
 
@@ -473,6 +583,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
 
         b = prompt_ids.shape[0]
+        tcond_dim = self._lcm_cond_dim
+        use_cfg = tcond_dim is None and guidance_scale > 1.0
         zero_uncond = (
             negative_prompt_ids is None and negative_prompt_ids_2 is None
         )
@@ -484,7 +596,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         original_size = original_size or (height, width)
         target_size = target_size or (height, width)
         time_ids = self._time_ids(
-            original_size, crops_coords_top_left, target_size, b
+            original_size, crops_coords_top_left, target_size, b,
+            use_cfg=use_cfg,
         )
 
         state = self._scheduler_state(num_inference_steps)
@@ -492,10 +605,17 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         sf = self.vae_scale_factor
         lat_shape = (b, height // sf, width // sf, vae_cfg.latent_channels)
 
-        fkey = ("xl_full", num_inference_steps, zero_uncond)
+        fkey = (
+            "xl_full", num_inference_steps, zero_uncond, use_cfg, tcond_dim,
+        )
         fp = self._fused_loops.get(fkey)
         if fp is None:
-            fp = self._build_fused_pipeline_xl(num_inference_steps, zero_uncond)
+            fp = self._build_fused_pipeline_xl(
+                num_inference_steps,
+                zero_uncond,
+                use_cfg=use_cfg,
+                tcond_dim=tcond_dim,
+            )
             self._fused_loops[fkey] = fp
 
         unet_params = (

@@ -66,6 +66,38 @@ def preprocess_control_image(img, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(img, dtype)
 
 
+def preprocess_mask_image(mask, lh: int, lw: int) -> jnp.ndarray:
+    """Inpainting mask → KEEP mask at latent resolution, (B, lh, lw, 1)
+    float32 on device.
+
+    Input follows the diffusers convention (white = repaint, black =
+    preserve; ``StableDiffusionInpaintPipeline`` docstring — the
+    reference compiles that pipeline transparently, README.md:371
+    "Image Inpainting: Yes").  Accepts PIL, (H,W), (H,W,C), or
+    (B,H,W[,C]) uint8/float arrays; any channel marked counts as
+    repaint.  Nearest-sampled down to the latent grid, binarized at
+    0.5, then INVERTED so a value of 1 preserves the original content —
+    the orientation the per-step blend consumes."""
+    arr = np.asarray(mask)
+    if arr.ndim == 2:
+        arr = arr[None, :, :, None]
+    elif arr.ndim == 3:
+        if arr.shape[-1] in (1, 3, 4):  # (H,W,C)
+            arr = arr[None]
+        else:  # (B,H,W)
+            arr = arr[..., None]
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    else:
+        arr = arr.astype(np.float32)
+    arr = arr.max(axis=-1, keepdims=True)
+    b, h, w, _ = arr.shape
+    ys = (np.arange(lh) * h) // lh
+    xs = (np.arange(lw) * w) // lw
+    inpaint = (arr[:, ys][:, :, xs] >= 0.5).astype(np.float32)
+    return jnp.asarray(1.0 - inpaint)
+
+
 def preprocess_image(img, dtype=jnp.float32) -> jnp.ndarray:
     """PIL image / uint8 array (B,H,W,3) → (B,H,W,3) float in [-1,1]."""
     if not isinstance(img, np.ndarray):

@@ -66,6 +66,42 @@ def test_sdxl_style_roundtrip():
     _assert_trees_equal(params, back)
 
 
+def test_lcm_cond_proj_roundtrip():
+    """LCM-distilled checkpoints (time_cond_proj_dim=256, e.g.
+    SimianLuo/LCM_Dreamshaper_v7) carry time_embedding.cond_proj.weight
+    (bias-free); the converter must read it and the exporter write it."""
+    cfg = dataclasses.replace(
+        TINY_UNET, dtype=jnp.float32, time_cond_proj_dim=32
+    )
+    params = init_unet_params(jax.random.key(2), cfg)
+    assert "cond_proj" in params["time_embedding"]
+    assert "b" not in params["time_embedding"]["cond_proj"]
+    sd = export_unet_state_dict(params, cfg)
+    assert "time_embedding.cond_proj.weight" in sd
+    assert "time_embedding.cond_proj.bias" not in sd
+    back = convert_unet_params(sd, cfg)
+    _assert_trees_equal(params, back)
+
+
+def test_lcm_config_from_diffusers_reads_time_cond_proj_dim():
+    from sfast_tpu.interop.convert_unet import unet_config_from_diffusers
+
+    cfg = unet_config_from_diffusers(
+        {
+            "block_out_channels": [32, 64],
+            "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+            "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D"],
+            "in_channels": 4,
+            "out_channels": 4,
+            "layers_per_block": 1,
+            "attention_head_dim": 4,
+            "cross_attention_dim": 32,
+            "time_cond_proj_dim": 256,
+        }
+    )
+    assert cfg.time_cond_proj_dim == 256
+
+
 def test_forward_equivalence_after_roundtrip():
     cfg = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
     unet = create_unet(cfg, jax.random.key(0))

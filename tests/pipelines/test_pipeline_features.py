@@ -251,7 +251,7 @@ def test_full_single_dispatch_with_controlnet_and_ip_adapter():
     pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
     fused = np.asarray(pipe(**kw).images)
     # key: (tag, steps, synth_uncond, with_control, ctrl_u8, with_ip)
-    assert ("full", 2, True, True, True, True) in pipe._fused_loops
+    assert ("full", 2, True, True, True, True, True, None) in pipe._fused_loops
     assert fused.dtype == np.uint8 and fused.shape == (1, 32, 32, 3)
     # same math, different fusion: allow one uint8 rounding flip
     assert np.abs(fused.astype(int) - stepwise.astype(int)).max() <= 1
@@ -259,7 +259,7 @@ def test_full_single_dispatch_with_controlnet_and_ip_adapter():
     fkw = dict(kw)
     fkw["control_image"] = kps.astype(np.float32) / 255.0
     fused_f = np.asarray(pipe(**fkw).images)
-    assert ("full", 2, True, True, False, True) in pipe._fused_loops
+    assert ("full", 2, True, True, False, True, True, None) in pipe._fused_loops
     assert np.abs(fused_f.astype(int) - fused.astype(int)).max() <= 1
 
 
@@ -269,7 +269,7 @@ def test_warmup_precompiles_resolutions():
     pipe = _pipe(ccfg=CCFG.replace(fuse_denoising_loop=True))
     out = pipe.warmup(resolutions=((32, 32), (64, 64)), steps=(2,))
     assert out is None
-    fp = pipe._fused_loops[("full", 2, True, False, False, False)]
+    fp = pipe._fused_loops[("full", 2, True, False, False, False, True, None)]
     assert fp.cache_size == 2  # one executable per resolution
     img = pipe(
         prompt_ids=jnp.ones((1, 77), jnp.int32),
@@ -285,7 +285,7 @@ def test_warmup_background_thread():
     t.join(timeout=300)
     assert not t.is_alive()
     assert (
-        pipe._fused_loops[("full", 2, True, False, False, False)].cache_size
+        pipe._fused_loops[("full", 2, True, False, False, False, True, None)].cache_size
         == 1
     )
 
@@ -301,7 +301,7 @@ def test_warmup_after_quantize_serves_quantized_structure():
     cal = calibrate_pipeline(pipe, ids, height=32, width=32, timesteps=(999,))
     quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
     pipe.warmup(resolutions=((32, 32),), steps=(2,))
-    fp = pipe._fused_loops[("full", 2, True, False, False, False)]
+    fp = pipe._fused_loops[("full", 2, True, False, False, False, True, None)]
     n = fp.cache_size
     assert n >= 1
     img = pipe(prompt_ids=ids, height=32, width=32, num_inference_steps=2,

@@ -130,7 +130,7 @@ def test_sdxl_fused_loop_matches_stepwise():
     stepwise = pipe(**kw).images
     pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
     fused = pipe(**kw).images
-    assert ("xl", 3) in pipe._fused_loops
+    assert ("xl", 3, True, None) in pipe._fused_loops
     np.testing.assert_allclose(
         np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
     )
@@ -148,7 +148,7 @@ def test_sdxl_fused_full_pipeline_matches_stepwise():
     stepwise = np.asarray(pipe(**kw).images)
     pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
     fused = np.asarray(pipe(**kw).images)
-    assert ("xl_full", 3, True) in pipe._fused_loops
+    assert ("xl_full", 3, True, True, None) in pipe._fused_loops
     assert fused.dtype == np.uint8 and fused.shape == stepwise.shape
     # uint8 quantization: allow off-by-one from fp reassociation
     assert np.abs(fused.astype(int) - stepwise.astype(int)).max() <= 1
@@ -157,7 +157,7 @@ def test_sdxl_fused_full_pipeline_matches_stepwise():
     neg = jnp.full_like(ids, 2)
     out = pipe(prompt_ids=ids, negative_prompt_ids=neg, height=64, width=64,
                num_inference_steps=3, seed=6)
-    assert ("xl_full", 3, False) in pipe._fused_loops
+    assert ("xl_full", 3, False, True, None) in pipe._fused_loops
     assert np.abs(out.images.astype(int) - fused.astype(int)).max() > 1
 
 
@@ -166,7 +166,7 @@ def test_sdxl_warmup_precompiles():
     pipe = _xl_pipe()
     sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
     pipe.warmup(resolutions=((64, 64),), steps=(2,))
-    fp = pipe._fused_loops[("xl_full", 2, True)]
+    fp = pipe._fused_loops[("xl_full", 2, True, True, None)]
     assert fp.cache_size == 1
     out = pipe(
         prompt_ids=jnp.ones((1, 77), jnp.int32),
@@ -200,3 +200,94 @@ def test_sdxl_img2img():
         height=64, width=64, seed=1, output_type="latent",
     ).images
     assert np.abs(np.asarray(lat_a) - np.asarray(lat_b)).max() > 0
+
+
+def _lcm_pipe(tcond_dim=32, fused=False):
+    """Distilled-LCM-style pipeline: UNet carries time_cond_proj_dim so
+    guidance enters as an embedded scale (diffusers
+    LatentConsistencyModelPipeline / SimianLuo-LCM_Dreamshaper_v7
+    semantics) and the pipeline must skip CFG batching entirely."""
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(
+                TINY_UNET, cross_attention_dim=64,
+                time_cond_proj_dim=tcond_dim,
+            ),
+            jax.random.key(1),
+        ),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=LCMScheduler(),
+        dtype=jnp.float32,
+    )
+    cfg = CCFG.replace(fuse_denoising_loop=True) if fused else CCFG
+    return sfast_tpu.compile(pipe, cfg)
+
+
+def test_lcm_distilled_guidance_embedding_matters():
+    """A time_cond_proj_dim UNet takes guidance through the w-embedding:
+    no CFG batch anywhere, but guidance_scale still changes the output."""
+    pipe = _lcm_pipe()
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+              seed=0, output_type="latent")
+    a = np.asarray(pipe(guidance_scale=4.0, **kw).images)
+    b = np.asarray(pipe(guidance_scale=8.0, **kw).images)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0
+
+
+def test_lcm_distilled_fused_matches_stepwise():
+    """The no-CFG + timestep_cond fused loop must reproduce the
+    stepwise path exactly."""
+    pipe = _lcm_pipe()
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=3,
+              guidance_scale=6.5, seed=3, output_type="latent")
+    stepwise = np.asarray(pipe(**kw).images)
+    pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
+    fused = np.asarray(pipe(**kw).images)
+    assert (3, False, False, False, 32) in pipe._fused_loops
+    np.testing.assert_allclose(stepwise, fused, rtol=3e-4, atol=3e-4)
+
+
+def test_nocfg_equals_cfg_at_guidance_one():
+    """At guidance 1 the CFG combine is eps_u + 1*(eps_c - eps_u) ==
+    eps_c, so the single-batch fast path must be numerically equivalent
+    (SDXL Turbo / guidance<=1 semantics, reference README.md:363 —
+    diffusers do_classifier_free_guidance=False)."""
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(
+            dataclasses.replace(TINY_UNET, cross_attention_dim=64),
+            jax.random.key(1),
+        ),
+        vae=dec,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        scheduler=EulerDiscreteScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    kw = dict(prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+              seed=0, output_type="latent")
+    # gs slightly above 1 takes the CFG path; the combine's gs-dependence
+    # vanishes as gs->1, so the two paths must agree to ~1e-5
+    cfg_path = np.asarray(pipe(guidance_scale=1.0 + 1e-6, **kw).images)
+    nocfg = np.asarray(pipe(guidance_scale=1.0, **kw).images)
+    np.testing.assert_allclose(nocfg, cfg_path, rtol=2e-4, atol=2e-4)
+
+
+def test_sdxl_nocfg_fused_full_runs():
+    """SDXL at guidance<=1 (Turbo-style): single-batch whole-pipeline
+    executable builds and runs."""
+    pipe = _xl_pipe()
+    sfast_tpu.compile(pipe, CCFG.replace(fuse_denoising_loop=True))
+    ids = jnp.ones((1, 77), jnp.int32)
+    out = pipe(prompt_ids=ids, height=64, width=64, num_inference_steps=2,
+               guidance_scale=1.0, seed=0)
+    assert ("xl_full", 2, True, False, None) in pipe._fused_loops
+    assert out.images.shape == (1, 64, 64, 3)
+    assert out.images.dtype == np.uint8

@@ -255,7 +255,9 @@ def test_fused_pipeline_single_dispatch():
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
 
-    fp = pipe._fused_loops[("full", 3, True, False, False, False)]
+    fp = pipe._fused_loops[
+        ("full", 3, True, False, False, False, True, None)
+    ]
     n_sigs = fp.cache_size
     assert n_sigs == 1
     new_params = jax.tree_util.tree_map(
@@ -287,7 +289,7 @@ def test_fused_loop_with_controlnet_matches_stepwise():
     stepwise = pipe(**kw).images
     pipe.set_compilation_config(CCFG.replace(fuse_denoising_loop=True))
     fused = pipe(**kw).images
-    assert (3, True, False) in pipe._fused_loops
+    assert (3, True, False, True, None) in pipe._fused_loops
     np.testing.assert_allclose(
         np.asarray(stepwise), np.asarray(fused), rtol=3e-4, atol=3e-4
     )

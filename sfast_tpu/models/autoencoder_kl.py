@@ -150,6 +150,51 @@ def init_vae_params(rng, cfg: VAEConfig):
     }
 
 
+def stack_iso_decoder(params):
+    """Weight-stack consecutive iso-shaped decoder resnets for
+    ``lax.scan`` (same codegen-dedup rationale as
+    ``unet_2d_condition.stack_iso_blocks``; the SD VAE decoder's 512²
+    convs are the largest per-site code emitters in the full-pipeline
+    executable).  Levels 0/1 scan all 3 resnets (512→512), levels 2/3
+    the last two.  Returns a new tree consumed via the per-block
+    ``"segments"`` key; the encoder (one call per img2img) is left
+    unrolled."""
+    out = dict(params)
+    dec = dict(params["decoder"])
+    new_blocks = []
+    for blk in dec["up_blocks"]:
+        resnets = blk["resnets"]
+        sigs = [L.tree_shape_sig(r) for r in resnets]
+        segments = []
+        j = 0
+        while j < len(resnets):
+            k = j + 1
+            while k < len(resnets) and sigs[k] == sigs[j]:
+                k += 1
+            if k - j >= 2:
+                segments.append({"scan": L.tree_stack(resnets[j:k])})
+            else:
+                segments.append({"one": resnets[j]})
+            j = k
+        nblk = {"segments": segments}
+        if "upsample" in blk:
+            nblk["upsample"] = blk["upsample"]
+        new_blocks.append(nblk)
+    dec["up_blocks"] = new_blocks
+    out["decoder"] = dec
+    return out
+
+
+def maybe_stack_iso_vae(params):
+    """``stack_iso_decoder`` gated by SFAST_TPU_STACK_ISO=1 (trace-time
+    read, same gate as the UNet transform)."""
+    import os
+
+    if os.environ.get("SFAST_TPU_STACK_ISO", "0") == "1":
+        return stack_iso_decoder(params)
+    return params
+
+
 def vae_decode_fwd(
     cfg: VAEConfig, ccfg: CompilationConfig, params, latents: jax.Array
 ) -> jax.Array:
@@ -158,6 +203,11 @@ def vae_decode_fwd(
     diffusers).  Returns (B, 8h, 8w, 3) in [-1, 1]."""
     be = None if ccfg.enable_pallas else "xla"
     groups = cfg.norm_num_groups
+    # trace-time gate: decode runs once per image, so the stacking copy
+    # (a few MB of weights) is negligible here — applied inside the
+    # forward so every caller (fused pipeline, stepwise, bare decode)
+    # gets the deduplicated codegen
+    params = maybe_stack_iso_vae(params)
     p = params["decoder"]
     h = conv2d(
         latents.astype(cfg.dtype),
@@ -169,8 +219,26 @@ def vae_decode_fwd(
     h = _vae_attention_fwd(p["mid"]["attn"], h, groups=groups)
     h = L.resnet_block_fwd(p["mid"]["resnet2"], h, groups=groups, eps=1e-6, gn_backend=be)
     for blk in p["up_blocks"]:
-        for rn in blk["resnets"]:
-            h = L.resnet_block_fwd(rn, h, groups=groups, eps=1e-6, gn_backend=be)
+        if "segments" in blk:
+            # weight-stacked iso runs (stack_iso_decoder): one compiled
+            # body per run instead of one per resnet
+            for seg in blk["segments"]:
+                if "one" in seg:
+                    h = L.resnet_block_fwd(
+                        seg["one"], h, groups=groups, eps=1e-6, gn_backend=be
+                    )
+                else:
+
+                    def _body(hh, rp):
+                        hh = L.resnet_block_fwd(
+                            rp, hh, groups=groups, eps=1e-6, gn_backend=be
+                        )
+                        return hh, None
+
+                    h, _ = jax.lax.scan(_body, h, seg["scan"])
+        else:
+            for rn in blk["resnets"]:
+                h = L.resnet_block_fwd(rn, h, groups=groups, eps=1e-6, gn_backend=be)
         if "upsample" in blk:
             h = L.upsample_fwd(blk["upsample"], h)
     h = group_norm(

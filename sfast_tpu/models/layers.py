@@ -228,6 +228,19 @@ def device_put_tree(params, device=None):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def tree_stack(trees):
+    """Stack identically-shaped pytrees leaf-wise along a new leading
+    axis — weight-stacking for ``lax.scan`` over iso-shaped blocks."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def tree_shape_sig(tree):
+    """Hashable (treedef, leaf shape/dtype) signature: two subtrees with
+    equal signatures can be weight-stacked and run under one scan body."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return (treedef, tuple((l.shape, jnp.result_type(l).name) for l in leaves))
+
+
 # ---------------------------------------------------------------------------
 # Timestep embeddings (diffusers Timesteps + TimestepEmbedding)
 # ---------------------------------------------------------------------------
@@ -647,11 +660,29 @@ def spatial_transformer_fwd(
         h = apply_linear(p["proj_in"], h)
     else:
         h = conv2d(h, p["proj_in"]["w"], p["proj_in"]["b"]).reshape(b, hgt * wid, c)
-    for blk in p["blocks"]:
-        h = transformer_block_fwd(
-            blk, h, context, heads=heads, attn_backend=attn_backend,
-            geglu_backend=geglu_backend, ip_embeds=ip_embeds, ip_scale=ip_scale,
-        )
+    blocks = p["blocks"]
+    if isinstance(blocks, dict) and "_stacked" in blocks:
+        # weight-stacked depth blocks (models/unet_2d_condition.py
+        # stack_iso_blocks): ONE scan body instead of `depth` unrolled
+        # copies — XLA emits the block's code once (SDXL level 2 has
+        # depth 10 at three sites; unrolled it dominates compile time
+        # and executable size)
+        def _depth_body(hh, bp):
+            hh = transformer_block_fwd(
+                bp, hh, context, heads=heads, attn_backend=attn_backend,
+                geglu_backend=geglu_backend, ip_embeds=ip_embeds,
+                ip_scale=ip_scale,
+            )
+            return hh, None
+
+        h, _ = jax.lax.scan(_depth_body, h, blocks["_stacked"])
+    else:
+        for blk in blocks:
+            h = transformer_block_fwd(
+                blk, h, context, heads=heads, attn_backend=attn_backend,
+                geglu_backend=geglu_backend, ip_embeds=ip_embeds,
+                ip_scale=ip_scale,
+            )
     if use_linear_projection:
         h = apply_linear(p["proj_out"], h)
         h = h.reshape(b, hgt, wid, c)

@@ -248,6 +248,82 @@ def init_unet_params(rng, cfg: UNetConfig):
     return p
 
 
+def stack_iso_blocks(params):
+    """Weight-stack consecutive iso-shaped (resnet, attention) pairs and
+    transformer depth blocks so ``unet_fwd`` runs them under ``lax.scan``.
+
+    Why: XLA TPU codegen emits 1.8–2.8 MB of machine code PER 3×3 conv
+    call site and does not share code between identical sites (measured,
+    ``benchmarks/analyze_exec_size_ops.py``) — the unrolled SD1.5 UNet
+    compiles to a ~374 MB executable in ~135 s.  Stacking the iso runs
+    (SD1.5: both level-0 down pairs, both level-3 down resnets, all three
+    up resnets at levels 0/1, the last two at levels 2/3; SDXL adds the
+    depth-10 transformer stacks) makes XLA emit each run's body ONCE.
+    The reference has no analog: CUDA graphs replay recorded kernels, so
+    it never pays per-call-site code generation.
+
+    Apply ONCE per executable, after ``maybe_unpack`` and OUTSIDE the
+    denoise loop (stacking is a weight copy; inside the loop body it
+    would re-run every step).  ``unet_fwd`` consumes the transformed
+    pytree via the per-block ``"segments"`` key; untransformed params
+    take the original unrolled path."""
+
+    def _stack_depth(attn):
+        blocks = attn.get("blocks")
+        if isinstance(blocks, list) and len(blocks) >= 2:
+            attn = dict(attn)
+            attn["blocks"] = {"_stacked": L.tree_stack(blocks)}
+        return attn
+
+    out = dict(params)
+    for key in ("down_blocks", "up_blocks"):
+        new_blocks = []
+        for blk in params[key]:
+            resnets = blk["resnets"]
+            attns = blk.get("attentions")
+            pairs = []
+            for j in range(len(resnets)):
+                pair = {"resnet": resnets[j]}
+                if attns is not None:
+                    pair["attention"] = _stack_depth(attns[j])
+                pairs.append(pair)
+            sigs = [L.tree_shape_sig(p) for p in pairs]
+            segments = []
+            j = 0
+            while j < len(pairs):
+                k = j + 1
+                while k < len(pairs) and sigs[k] == sigs[j]:
+                    k += 1
+                if k - j >= 2:
+                    segments.append({"scan": L.tree_stack(pairs[j:k])})
+                else:
+                    segments.append({"one": pairs[j]})
+                j = k
+            nblk = {"segments": segments}
+            for extra in ("downsample", "upsample"):
+                if extra in blk:
+                    nblk[extra] = blk[extra]
+            new_blocks.append(nblk)
+        out[key] = new_blocks
+    if "mid_block" in out:
+        mid = dict(out["mid_block"])
+        mid["attentions"] = [_stack_depth(a) for a in mid["attentions"]]
+        out["mid_block"] = mid
+    return out
+
+
+def maybe_stack_iso(params):
+    """``stack_iso_blocks`` gated by ``SFAST_TPU_STACK_ISO=1`` (read at
+    trace time, so flipping the env after import works; the flag is
+    folded into the exec-cache fingerprint like every program-changing
+    ``SFAST_TPU_*`` var — runtime/exec_cache.py)."""
+    import os
+
+    if os.environ.get("SFAST_TPU_STACK_ISO", "0") == "1":
+        return stack_iso_blocks(params)
+    return params
+
+
 def _backends(ccfg: CompilationConfig):
     """Map config knobs → op backend selections (None = per-op auto)."""
     if not ccfg.enable_pallas:
@@ -345,21 +421,50 @@ def unet_fwd(
         padding=1,
     )
 
+    def _pair_fwd(pair, hh, level):
+        hh = L.resnet_block_fwd(
+            pair["resnet"], hh, emb, groups=groups, gn_backend=be["gn"],
+            conv_backend=be["conv"],
+        )
+        if "attention" in pair:
+            hh = L.spatial_transformer_fwd(
+                pair["attention"], hh, context,
+                heads=cfg.num_heads[level], **attn_kw,
+            )
+        return hh
+
     # 3. down blocks
     res_stack = [h]
     for i, blk in enumerate(params["down_blocks"]):
-        has_attn = "attentions" in blk
-        for j, rn in enumerate(blk["resnets"]):
-            h = L.resnet_block_fwd(
-                rn, h, emb, groups=groups, gn_backend=be["gn"],
-                conv_backend=be["conv"],
-            )
-            if has_attn:
-                h = L.spatial_transformer_fwd(
-                    blk["attentions"][j], h, context,
-                    heads=cfg.num_heads[i], **attn_kw,
+        if "segments" in blk:
+            # weight-stacked iso runs (see stack_iso_blocks): each scan
+            # body compiles once; ys carries the per-iteration hidden
+            # states that feed the up-block skip connections
+            for seg in blk["segments"]:
+                if "one" in seg:
+                    h = _pair_fwd(seg["one"], h, i)
+                    res_stack.append(h)
+                else:
+
+                    def _down_body(hh, pair, _level=i):
+                        hh = _pair_fwd(pair, hh, _level)
+                        return hh, hh
+
+                    h, ys = jax.lax.scan(_down_body, h, seg["scan"])
+                    res_stack.extend(list(ys))
+        else:
+            has_attn = "attentions" in blk
+            for j, rn in enumerate(blk["resnets"]):
+                h = L.resnet_block_fwd(
+                    rn, h, emb, groups=groups, gn_backend=be["gn"],
+                    conv_backend=be["conv"],
                 )
-            res_stack.append(h)
+                if has_attn:
+                    h = L.spatial_transformer_fwd(
+                        blk["attentions"][j], h, context,
+                        heads=cfg.num_heads[i], **attn_kw,
+                    )
+                res_stack.append(h)
         if "downsample" in blk:
             h = L.downsample_fwd(blk["downsample"], h)
             res_stack.append(h)
@@ -392,20 +497,43 @@ def unet_fwd(
 
     # 5. up blocks
     for i, blk in enumerate(params["up_blocks"]):
-        has_attn = "attentions" in blk
         level = n_blocks - 1 - i
-        for j, rn in enumerate(blk["resnets"]):
-            res = res_stack.pop()
-            h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
-            h = L.resnet_block_fwd(
-                rn, h, emb, groups=groups, gn_backend=be["gn"],
-                conv_backend=be["conv"],
-            )
-            if has_attn:
-                h = L.spatial_transformer_fwd(
-                    blk["attentions"][j], h, context,
-                    heads=cfg.num_heads[level], **attn_kw,
+        if "segments" in blk:
+            for seg in blk["segments"]:
+                if "one" in seg:
+                    res = res_stack.pop()
+                    h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
+                    h = _pair_fwd(seg["one"], h, level)
+                else:
+                    k = jax.tree_util.tree_leaves(seg["scan"])[0].shape[0]
+                    # skips in pop order = scan iteration order; the
+                    # stack is a few MB of activations per step (13 µs
+                    # at level-3 SD1.5), dwarfed by the saved codegen
+                    skips = jnp.stack(
+                        [res_stack.pop().astype(h.dtype) for _ in range(k)]
+                    )
+
+                    def _up_body(hh, xs, _level=level):
+                        pair, skip = xs
+                        hh = jnp.concatenate([hh, skip], axis=-1)
+                        hh = _pair_fwd(pair, hh, _level)
+                        return hh, None
+
+                    h, _ = jax.lax.scan(_up_body, h, (seg["scan"], skips))
+        else:
+            has_attn = "attentions" in blk
+            for j, rn in enumerate(blk["resnets"]):
+                res = res_stack.pop()
+                h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
+                h = L.resnet_block_fwd(
+                    rn, h, emb, groups=groups, gn_backend=be["gn"],
+                    conv_backend=be["conv"],
                 )
+                if has_attn:
+                    h = L.spatial_transformer_fwd(
+                        blk["attentions"][j], h, context,
+                        heads=cfg.num_heads[level], **attn_kw,
+                    )
         if "upsample" in blk:
             h = L.upsample_fwd(blk["upsample"], h)
 

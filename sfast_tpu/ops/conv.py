@@ -19,18 +19,21 @@ import jax.numpy as jnp
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
-# Experiment gate: ask the conv custom-call for a bf16 OUTPUT BUFFER
-# (the MXU still accumulates f32 internally) and run the bias/residual
-# epilogue in bf16.  The round-4 trace pins every top while-loop fusion
-# to the f32 conv-output boundary (add_convert / convert_multiply
-# fusions around conv.py's conv_general_dilated): an f32 buffer doubles
-# the write+read bytes at every conv→epilogue→GN edge.  Costs one extra
-# bf16 rounding before the bias add (~0.4% activation noise, the same
-# class as the reference's fp16 conv outputs).  Read at TRACE time, like
-# SFAST_TPU_FUSED_L, so setting it after import works and tests can
-# monkeypatch it (ADVICE r4, low).
+# bf16 conv OUTPUT BUFFERS (the MXU still accumulates f32 internally):
+# run the bias/residual epilogue in bf16 instead of f32.  The round-4
+# trace pinned every top while-loop fusion to the f32 conv-output
+# boundary (add_convert / convert_multiply fusions around this file's
+# conv_general_dilated): an f32 buffer doubles the write+read bytes at
+# every conv→epilogue→GN edge.  Same-session A/B on v5e (2026-08-19,
+# SD1.5 512² 50-step fused e2e): 1052.5 ms (f32 out) → 1036.9 ms
+# (−15.6 ms/image; UNet 51.3 → 53.7 it/s) — DEFAULT ON.  Costs one
+# extra bf16 rounding before the bias add (~0.4% activation noise, the
+# same class as the reference's fp16 conv outputs; full-model parity
+# suites stay green).  SFAST_TPU_CONV_BF16_OUT=0 restores f32 buffers.
+# Read at TRACE time, like SFAST_TPU_FUSED_L, so setting it after
+# import works and tests can monkeypatch it (ADVICE r4, low).
 def _bf16_out_enabled() -> bool:
-    return os.environ.get("SFAST_TPU_CONV_BF16_OUT") == "1"
+    return os.environ.get("SFAST_TPU_CONV_BF16_OUT", "1") == "1"
 
 
 def conv2d(

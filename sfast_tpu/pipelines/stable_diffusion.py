@@ -26,6 +26,7 @@ import numpy as np
 from sfast_tpu.config import CompilationConfig
 from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
 from sfast_tpu.models.module import Model
+from sfast_tpu.models.unet_2d_condition import maybe_stack_iso
 from sfast_tpu.runtime.packed_params import maybe_unpack
 from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.schedulers.common import add_noise
@@ -131,6 +132,17 @@ class StableDiffusionPipeline:
             self._fused_loops = {}
             self._sched_states = {}
             self._sched_obj = self.scheduler
+        # SFAST_TPU_STACK_ISO changes the traced program (weight-stacked
+        # scan vs unrolled blocks, models/unet_2d_condition.py
+        # maybe_stack_iso) but not the fused-loop cache keys — flipping
+        # it mid-process must invalidate, or the stale executable would
+        # silently ignore the flag (same bug class as ADVICE r4 #1)
+        import os
+
+        stack_env = os.environ.get("SFAST_TPU_STACK_ISO", "0")
+        if getattr(self, "_stack_iso_env", stack_env) != stack_env:
+            self._fused_loops = {}
+        self._stack_iso_env = stack_env
 
     def _scheduler_state(self, num_steps: int):
         """Device-resident scheduler state, cached per step count.
@@ -376,7 +388,7 @@ class StableDiffusionPipeline:
             ip_embeds,
             ip_scale,
         ):
-            params = maybe_unpack(params)  # hoist out of the loop body
+            params = maybe_stack_iso(maybe_unpack(params))  # hoist out of the loop body
             if with_control:
                 cn_params_u = maybe_unpack(cn_params)
                 # hint-embedding conv stack runs at PIXEL resolution on
@@ -546,7 +558,7 @@ class StableDiffusionPipeline:
             # unpack packed params ONCE, before the loop: left inside the
             # body, XLA re-carves (and re-tiles) all ~1.7 GB of weights
             # every step (+280 ms/image, measured 2026-08)
-            unet_params_u = maybe_unpack(unet_params)
+            unet_params_u = maybe_stack_iso(maybe_unpack(unet_params))
             ctrl_in = ctrl_embed = cn_params_u = None
             if with_control:
                 from sfast_tpu.models.controlnet import controlnet_cond_embed

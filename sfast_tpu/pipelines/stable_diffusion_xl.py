@@ -16,6 +16,7 @@ import numpy as np
 
 from sfast_tpu.models.module import Model
 from sfast_tpu.pipelines.stable_diffusion import PipelineOutput, StableDiffusionPipeline
+from sfast_tpu.models.unet_2d_condition import maybe_stack_iso
 from sfast_tpu.runtime.packed_params import maybe_unpack
 from sfast_tpu.runtime.tracing import LazyCompiledFunction
 from sfast_tpu.utils.image import denormalize_to_uint8, to_pil
@@ -139,7 +140,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             params, latents, context, state, guidance_scale, key,
             text_embeds, time_ids,
         ):
-            params = maybe_unpack(params)  # hoist out of the loop body
+            params = maybe_stack_iso(maybe_unpack(params))  # hoist out of the loop body
             added = {"text_embeds": text_embeds, "time_ids": time_ids}
             tcond = None
             if tcond_dim is not None:
@@ -272,7 +273,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                     guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
                     (lat_shape[0], tcond_dim),
                 )
-            unet_params_u = maybe_unpack(unet_params)  # hoist above the loop
+            unet_params_u = maybe_stack_iso(maybe_unpack(unet_params))  # hoist above the loop
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, lat_shape, jnp.float32)

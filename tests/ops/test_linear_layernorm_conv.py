@@ -122,7 +122,7 @@ def test_conv2d_bf16_out_gate(monkeypatch):
     )
     b = jax.random.normal(keys[2], (8,), jnp.bfloat16)
 
-    monkeypatch.delenv("SFAST_TPU_CONV_BF16_OUT", raising=False)
+    monkeypatch.setenv("SFAST_TPU_CONV_BF16_OUT", "0")
     ref = np.asarray(
         conv2d(x, w, b, padding=1, act="silu"), dtype=np.float32
     )

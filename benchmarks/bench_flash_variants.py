@@ -44,6 +44,14 @@ VARIANTS = {
     "2kv@4096+fusedl": dict(
         dimsem=False, block_k=4096, kv_stages=2, _env={"SFAST_TPU_FUSED_L": "1"}
     ),
+    # mode 2: ones column planted in-kernel (VMEM), no HBM V write —
+    # built so the fused-denominator win can transfer to e2e
+    "2kv@4096+fusedl2": dict(
+        dimsem=False, block_k=4096, kv_stages=2, _env={"SFAST_TPU_FUSED_L": "2"}
+    ),
+    "4kv@4096+fusedl2": dict(
+        dimsem=False, block_k=4096, kv_stages=4, _env={"SFAST_TPU_FUSED_L": "2"}
+    ),
 }
 
 

@@ -71,6 +71,16 @@ def main():
         )
         return time.time() - t0, out
 
+    trace_dir = os.environ.get("SVD_TRACE")
+    if trace_dir:
+        # one extra untimed clip under the jax profiler: op-level
+        # attribution for the SVD loop (VERDICT r4 weak #5)
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            _, out = timed(STEPS, 3)
+            jax.block_until_ready(out.images)
+
     if os.environ.get("SVD_TRACKED", "0") == "1":
         # tracked-config mode (VERDICT r2 task #8 / r3 next-step #4): ONE
         # real clip at the requested step count, timed post-warmup, as a

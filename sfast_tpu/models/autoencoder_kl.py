@@ -186,11 +186,18 @@ def stack_iso_decoder(params):
 
 
 def maybe_stack_iso_vae(params):
-    """``stack_iso_decoder`` gated by SFAST_TPU_STACK_ISO=1 (trace-time
-    read, same gate as the UNet transform)."""
+    """``stack_iso_decoder`` gated by SFAST_TPU_STACK_ISO_VAE=1 — a
+    SEPARATE opt-in from the UNet's SFAST_TPU_STACK_ISO so the two costs
+    can be paid independently (v5e same-session A/B pairs, 2026-08-19,
+    SD1.5 512² 50-step fused): UNet+VAE stacking cost +67.6 ms/image
+    e2e, UNet-only +40.2 — the VAE decoder's 512² resnets (Pallas
+    fused-conv path) lose cross-block scheduling under scan on top of
+    the UNet's fusion loss.  Both shrink compiled code and warm-start
+    compile (−40-44% measured), so they stay available for
+    warm-start-critical serving."""
     import os
 
-    if os.environ.get("SFAST_TPU_STACK_ISO", "0") == "1":
+    if os.environ.get("SFAST_TPU_STACK_ISO_VAE", "0") == "1":
         return stack_iso_decoder(params)
     return params
 

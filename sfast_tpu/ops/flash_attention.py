@@ -65,6 +65,7 @@ def _flash_kernel(
     need_mask: bool = True,
     softmax_dtype=jnp.float32,
     fused_l: bool = False,
+    fused_l_inkernel: bool = False,
     d_real: int = 0,
     kv_stages: int = 1,
 ):
@@ -99,6 +100,16 @@ def _flash_kernel(
         else:
             k_t = k_ref[0]
             v_t = v_ref[0]
+        if fused_l and fused_l_inkernel:
+            # plant the denominator ones-column IN VMEM (one VPU select
+            # over (sub, dp) — 16x smaller than the f32-convert+row-sum
+            # passes over (block_q, sub) it replaces).  The =1 variant
+            # writes the column on the HBM V tensor instead, which costs
+            # a per-step pass over freshly-projected V in the caller's
+            # graph — the reason its isolated −5.4%/call win inverted to
+            # an e2e LOSS (STATUS round-4; bench A/B 1120 vs 1056 ms).
+            lane = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, 1)
+            v_t = jnp.where(lane == d_real, jnp.ones_like(v_t), v_t)
         s = jax.lax.dot_general(
             q,
             k_t,
@@ -482,12 +493,17 @@ def flash_attention(
     # freshly-projected V plus scheduling interactions outweigh the
     # in-kernel saving.  Kept opt-in for d<64 serving shapes where the
     # isolated win may transfer.
+    # "1": ones column written on the HBM V tensor (caller-graph pass,
+    # measured e2e-negative); "2": ones planted inside the kernel on the
+    # VMEM sub-block (no caller-graph cost — the variant built to make
+    # the isolated win transfer to e2e).
+    fl_env = os.environ.get("SFAST_TPU_FUSED_L")
     fused_l = (
         dp > d
         and jnp.dtype(softmax_dtype) == jnp.bfloat16
-        and os.environ.get("SFAST_TPU_FUSED_L") == "1"
+        and fl_env in ("1", "2")
     )
-    if fused_l:
+    if fused_l and fl_env == "1":
         v = v.at[:, :, d].set(1)
 
     block_q = min(block_q, _round_up(sq, 8))
@@ -513,6 +529,7 @@ def flash_attention(
         need_mask=causal or (sk_p != sk),
         softmax_dtype=softmax_dtype,
         fused_l=fused_l,
+        fused_l_inkernel=(fl_env == "2"),
         d_real=d,
         kv_stages=kv_stages,
     )

@@ -391,3 +391,57 @@ def test_controlnet_cond_embedding_parity():
     np.testing.assert_allclose(
         np.asarray(c).transpose(0, 3, 1, 2), ref.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def test_lcm_timestep_embedding_cond_proj_parity():
+    """diffusers TimestepEmbedding with cond_proj (LCM-distilled UNets,
+    time_cond_proj_dim=256): condition is projected bias-free and added
+    to the sinusoidal embedding BEFORE linear_1.  The torch replica's
+    state_dict goes through the real converter helper and the converted
+    forward must match, including the guidance-scale embedding builder
+    (LatentConsistencyModelPipeline.get_guidance_scale_embedding)."""
+    from sfast_tpu.interop.convert_unet import _time_embedding
+
+    cin, tdim, cdim = 16, 64, 32
+
+    class TorchTimestepEmbedding(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear_1 = nn.Linear(cin, tdim)
+            self.linear_2 = nn.Linear(tdim, tdim)
+            self.cond_proj = nn.Linear(cdim, cin, bias=False)
+
+        def forward(self, sample, condition):
+            sample = sample + self.cond_proj(condition)
+            return self.linear_2(F.silu(self.linear_1(sample)))
+
+    m = TorchTimestepEmbedding().eval()
+    p = _time_embedding({f"te.{k}": v for k, v in m.state_dict().items()},
+                        "te.", jnp.float32)
+    assert "cond_proj" in p and "b" not in p["cond_proj"]
+
+    t_emb = torch.randn(2, cin)
+    # diffusers get_guidance_scale_embedding(w=guidance-1, dim=cdim)
+    w = torch.tensor([7.5 - 1.0, 1.5 - 1.0])
+    half = cdim // 2
+    emb = torch.exp(
+        torch.arange(half, dtype=torch.float32)
+        * (-math.log(10000.0) / (half - 1))
+    )
+    emb = (w * 1000.0)[:, None] * emb[None, :]
+    w_emb_ref = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1)
+    with torch.no_grad():
+        ref = m(t_emb, w_emb_ref)
+
+    w_emb = L.guidance_scale_embedding(_j(w), cdim)
+    # sin/cos of ~6500-rad arguments: one f32 ulp in the log-spaced freq
+    # shifts the phase by ~1e-3 absolute — compare with that tolerance
+    np.testing.assert_allclose(
+        np.asarray(w_emb), w_emb_ref.numpy(), rtol=0, atol=5e-3
+    )
+    # module-forward parity with the IDENTICAL embedding (isolates the
+    # cond_proj/linear path from the trig tolerance above)
+    out = L.time_embedding_fwd(p, _j(t_emb), cond=_j(w_emb_ref))
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy(), rtol=2e-5, atol=2e-5
+    )

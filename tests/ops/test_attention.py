@@ -70,6 +70,7 @@ def test_flash_bf16():
     )
 
 
+@pytest.mark.parametrize("mode", ["1", "2"])
 @pytest.mark.parametrize(
     "sq,sk,causal",
     [
@@ -78,11 +79,12 @@ def test_flash_bf16():
         (256, 256, True),
     ],
 )
-def test_flash_fused_l_bf16_d40(sq, sk, causal, monkeypatch):
-    """d=40 + bf16 softmax + SFAST_TPU_FUSED_L=1 triggers the opt-in
+def test_flash_fused_l_bf16_d40(sq, sk, causal, mode, monkeypatch):
+    """d=40 + bf16 softmax + SFAST_TPU_FUSED_L triggers the opt-in
     fused-denominator path (ones column in V's d-padding, l via the PV
-    matmul) — must match both the reference and the explicit-l
-    kernel."""
+    matmul; mode "2" plants the column in-kernel on the VMEM sub-block
+    instead of on the HBM tensor) — must match both the reference and
+    the explicit-l kernel, including with staged kv sub-blocks."""
     keys = jax.random.split(jax.random.key(3), 3)
     q = jax.random.normal(keys[0], (1, 2, sq, 40), jnp.bfloat16)
     k = jax.random.normal(keys[1], (1, 2, sk, 40), jnp.bfloat16)
@@ -92,9 +94,10 @@ def test_flash_fused_l_bf16_d40(sq, sk, causal, monkeypatch):
         interpret=True,
         block_q=128,
         block_k=128,
+        kv_stages=2 if mode == "2" else 1,
         softmax_dtype=jnp.bfloat16,
     )
-    monkeypatch.setenv("SFAST_TPU_FUSED_L", "1")
+    monkeypatch.setenv("SFAST_TPU_FUSED_L", mode)
     fused = flash_attention(q, k, v, **kw)
     monkeypatch.delenv("SFAST_TPU_FUSED_L", raising=False)
     explicit = flash_attention(q, k, v, **kw)

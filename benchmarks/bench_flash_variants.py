@@ -33,12 +33,30 @@ import numpy as np
 
 from sfast_tpu.ops.flash_attention import flash_attention
 
-SHAPE = (2, 8, 4096, 40)  # (B, H, S, D): SD1.5 64² self-attention, CFG batch
-ITERS = 100
+# (B, H, S, D) — default: SD1.5 64² self-attention, CFG batch.  Override
+# with FLASH_SHAPE="50,5,9216,64" (SVD 576x1024 spatial attention: 25
+# frames x CFG ride in batch) and FLASH_ITERS for slow shapes.
+SHAPE = tuple(
+    int(x) for x in os.environ.get("FLASH_SHAPE", "2,8,4096,40").split(",")
+)
+ITERS = int(os.environ.get("FLASH_ITERS", "100"))
 REPS = 5
 
+SK = SHAPE[2]
 VARIANTS = {
     "base": dict(dimsem=False),
+} if SK == 4096 else {
+    # non-4096 kv (e.g. SVD 9216): the auto rule falls back to
+    # (1024,1024); sweep whole-kv staged blocks against it
+    "base(1024,1024)": dict(dimsem=False),
+    "2kv@full": dict(dimsem=False, block_k=SK, kv_stages=2),
+    "4kv@full": dict(dimsem=False, block_k=SK, kv_stages=4),
+    "8kv@full": dict(dimsem=False, block_k=SK, kv_stages=8),
+    "4kv@full-bq512": dict(dimsem=False, block_q=512, block_k=SK, kv_stages=4),
+    "2kv@half": dict(dimsem=False, block_k=SK // 2, kv_stages=2),
+}
+if SK == 4096:
+ VARIANTS.update({
     "2kv@4096": dict(dimsem=False, block_k=4096, kv_stages=2),
     "4kv@4096": dict(dimsem=False, block_k=4096, kv_stages=4),
     "2kv@4096+fusedl": dict(
@@ -52,7 +70,7 @@ VARIANTS = {
     "4kv@4096+fusedl2": dict(
         dimsem=False, block_k=4096, kv_stages=4, _env={"SFAST_TPU_FUSED_L": "2"}
     ),
-}
+ })
 
 
 def build(variant_kwargs, iters):

@@ -61,10 +61,12 @@ class StableVideoDiffusionPipeline:
         self._sched_states = {}
         self._sched_obj = self.scheduler
         self._fused_loops = {}
+        self._decode_u8 = None
 
     def set_compilation_config(self, ccfg):
         self._ccfg = ccfg
         self._fused_loops = {}
+        self._decode_u8 = None
 
     def _sched_guard(self):
         if self._sched_obj is not self.scheduler:
@@ -108,6 +110,32 @@ class StableVideoDiffusionPipeline:
             return lat
 
         return LazyCompiledFunction(loop, name=f"svd_denoise_loop_{num_steps}")
+
+    def _build_decode_u8(self):
+        """Per-chunk decode → uint8 as ONE executable.  Two wins over
+        decode-all-then-convert-then-fetch (trace 2026-08-19, 25f
+        576×1024: VAE decode 2.86 s, final uint8 fetch ≈ 2 s of 44 MB
+        over the tunnel): the eager denormalize ops collapse into the
+        decode dispatch, and because chunk dispatches are async the host
+        fetch of chunk i overlaps the device decode of chunks i+1.. —
+        the decode tail and the frame download pipeline instead of
+        serializing."""
+        from sfast_tpu.runtime.tracing import LazyCompiledFunction
+
+        vae_model = (
+            self.vae.model if isinstance(self.vae, CompiledModel) else self.vae
+        )
+        vae_apply = vae_model.apply_fn(self._ccfg)
+        is_temporal = getattr(self.vae_config, "temporal_decoder", False)
+
+        def dec(params, chunk):
+            if is_temporal:
+                img = vae_apply(params, chunk, num_frames=chunk.shape[0])
+            else:
+                img = vae_apply(params, chunk)
+            return denormalize_to_uint8(img)
+
+        return LazyCompiledFunction(dec, name="svd_decode_u8")
 
     def _scheduler_state(self, num_steps: int):
         """Cached device-resident scheduler state (read-only downstream;
@@ -244,15 +272,17 @@ class StableVideoDiffusionPipeline:
         # decode_latents; a standard KL decoder decodes per-frame.
         flat = latents.reshape(b * num_frames, lh, lw, vcfg.latent_channels)
         flat = flat / vcfg.scaling_factor
-        is_temporal = getattr(vcfg, "temporal_decoder", False)
-        chunks = []
-        for s in range(0, flat.shape[0], decode_chunk_size):
-            chunk = flat[s : s + decode_chunk_size]
-            if is_temporal:
-                chunks.append(self.vae(chunk, num_frames=chunk.shape[0]))
-            else:
-                chunks.append(self.vae(chunk))
-        frames = jnp.concatenate(chunks, axis=0)
-        frames = denormalize_to_uint8(frames)
-        frames = frames.reshape(b, num_frames, height, width, 3)
-        return PipelineOutput(np.asarray(frames))
+        if self._decode_u8 is None:
+            self._decode_u8 = self._build_decode_u8()
+        vae_params = self.vae.params
+        # enqueue ALL chunk decodes (async dispatch), then fetch in
+        # order: chunk i downloads while chunks i+1.. still decode
+        outs = [
+            self._decode_u8(vae_params, flat[s : s + decode_chunk_size])
+            for s in range(0, flat.shape[0], decode_chunk_size)
+        ]
+        np_out = [np.asarray(o) for o in outs]
+        frames = np.concatenate(np_out, axis=0).reshape(
+            b, num_frames, height, width, 3
+        )
+        return PipelineOutput(frames)

@@ -89,6 +89,10 @@ _NON_PROGRAM_FLAGS = frozenset(
         "SFAST_TPU_FORCE_EXEC_CACHE",
         "SFAST_TPU_EXEC_CACHE_SAVE",
         "SFAST_TPU_REQUIRE_NATIVE",
+        "SFAST_TPU_BENCH_TRACE",  # profiler dump dir — diagnostics only
+        # (BENCH_W8A8 / BENCH_INT8_ATTN stay program-affecting: they flip
+        # what bench.py compiles, and an identically-shaped signature
+        # would otherwise collide with the unquantized executable)
     }
 )
 

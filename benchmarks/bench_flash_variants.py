@@ -47,18 +47,35 @@ VARIANTS = {
     "base": dict(dimsem=False),
 } if SK == 4096 else {
     # non-4096 kv (e.g. SVD 9216): the auto rule falls back to
-    # (1024,1024); sweep whole-kv staged blocks against it
+    # (1024,1024).  First sweep (2026-08-19) tried whole/half-kv blocks
+    # and OOM'd scoped VMEM: the f32 score block is
+    # (block_q, block_k/kv_stages)·4B and must stay ≲ 10 MB under the
+    # 16 MB scoped limit (1024×4608×4 = 18.9 MB failed).  This set keeps
+    # every sub-block ≤ 9.5 MB and every block_k an exact divisor of
+    # 9216 (=1024·9) so no kv padding/mask cost is added.
     "base(1024,1024)": dict(dimsem=False),
-    "2kv@full": dict(dimsem=False, block_k=SK, kv_stages=2),
-    "4kv@full": dict(dimsem=False, block_k=SK, kv_stages=4),
-    "8kv@full": dict(dimsem=False, block_k=SK, kv_stages=8),
-    "4kv@full-bq512": dict(dimsem=False, block_q=512, block_k=SK, kv_stages=4),
-    "2kv@half": dict(dimsem=False, block_k=SK // 2, kv_stages=2),
+    "bk2304": dict(dimsem=False, block_k=2304),
+    "bk2304x2": dict(dimsem=False, block_k=2304, kv_stages=2),
+    "bk4608x2": dict(dimsem=False, block_k=4608, kv_stages=2),
+    "full-x4": dict(dimsem=False, block_k=SK, kv_stages=4),
+    "full-x8": dict(dimsem=False, block_k=SK, kv_stages=8),
+    "bq2304-bk1024": dict(dimsem=False, block_q=2304, block_k=1024),
+    "bq512-bk4608x2": dict(
+        dimsem=False, block_q=512, block_k=4608, kv_stages=2
+    ),
 }
 if SK == 4096:
  VARIANTS.update({
     "2kv@4096": dict(dimsem=False, block_k=4096, kv_stages=2),
     "4kv@4096": dict(dimsem=False, block_k=4096, kv_stages=4),
+    # q-block restructure: fewer, bigger programs — whole-q gives the
+    # scheduler one long staged loop to software-pipeline (16 programs
+    # total), bq2048 halves grid steps.  f32 score sub-block kept ≤8 MB.
+    "fullq-x8": dict(dimsem=False, block_q=4096, block_k=4096, kv_stages=8),
+    "fullq-x16": dict(dimsem=False, block_q=4096, block_k=4096, kv_stages=16),
+    "bq2048-x4": dict(dimsem=False, block_q=2048, block_k=4096, kv_stages=4),
+    "bq2048-x8": dict(dimsem=False, block_q=2048, block_k=4096, kv_stages=8),
+    "bq512-x2": dict(dimsem=False, block_q=512, block_k=4096, kv_stages=2),
     "2kv@4096+fusedl": dict(
         dimsem=False, block_k=4096, kv_stages=2, _env={"SFAST_TPU_FUSED_L": "1"}
     ),

@@ -133,8 +133,41 @@ def main():
         "--static", action="store_true",
         help="calibrated static activation scales (no per-site max pass)",
     )
+    ap.add_argument(
+        "--phase", default="auto", choices=["auto", "all", "bf16", "w8a8"],
+        help="SDXL at 1024² cannot hold the bf16 AND w8a8 executables + "
+        "weight sets in HBM at once (measured RESOURCE_EXHAUSTED at the "
+        "w8a8 warmup, 2026-08-19); 'auto' splits the two measurements "
+        "into subprocesses for sdxl and stays in-process for sd15",
+    )
+    ap.add_argument("--io-file", default=None, help="phase handoff npz")
     args = ap.parse_args()
     size = args.size or (512 if args.model == "sd15" else 1024)
+
+    if args.phase == "auto":
+        args.phase = "all" if args.model == "sd15" else "subprocess"
+    if args.phase == "subprocess":
+        import subprocess, tempfile
+
+        io_file = tempfile.mktemp(suffix=".npz", prefix="w8a8_")
+        base = [sys.executable, os.path.abspath(__file__),
+                "--model", args.model, "--steps", str(args.steps),
+                "--repeats", str(args.repeats), "--io-file", io_file]
+        if args.size:
+            base += ["--size", str(args.size)]
+        if args.no_convs:
+            base += ["--no-convs"]
+        if args.static:
+            base += ["--static"]
+        for phase in ("bf16", "w8a8"):
+            r = subprocess.run(base + ["--phase", phase])
+            if r.returncode != 0:
+                sys.exit(r.returncode)
+        try:
+            os.unlink(io_file)
+        except OSError:
+            pass
+        return
 
     pipe = build(args.model)
     ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, jnp.int32)
@@ -144,10 +177,17 @@ def main():
     )
     lat_kw = dict(kw, num_inference_steps=10, output_type="latent")
 
-    log("pipeline built; measuring bf16 e2e")
-    bf16_ms = median_e2e(pipe, kw, args.repeats)
-    log(f"bf16 e2e {bf16_ms:.1f} ms; capturing 10-step bf16 latents")
-    lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
+    if args.phase in ("all", "bf16"):
+        log("pipeline built; measuring bf16 e2e")
+        bf16_ms = median_e2e(pipe, kw, args.repeats)
+        log(f"bf16 e2e {bf16_ms:.1f} ms; capturing 10-step bf16 latents")
+        lat_bf16 = np.asarray(pipe(seed=3, **lat_kw).images, np.float32)
+        if args.phase == "bf16":
+            np.savez(args.io_file, bf16_ms=bf16_ms, lat_bf16=lat_bf16)
+            return
+    else:
+        blob = np.load(args.io_file)
+        bf16_ms, lat_bf16 = float(blob["bf16_ms"]), blob["lat_bf16"]
 
     cal = None
     if args.static:

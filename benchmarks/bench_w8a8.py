@@ -162,6 +162,11 @@ def main():
         for phase in ("bf16", "w8a8"):
             r = subprocess.run(base + ["--phase", phase])
             if r.returncode != 0:
+                log(
+                    f"phase {phase} failed (rc={r.returncode}); bf16 "
+                    f"handoff kept at {io_file} — resume with "
+                    f"--phase w8a8 --io-file {io_file}"
+                )
                 sys.exit(r.returncode)
         try:
             os.unlink(io_file)
@@ -198,6 +203,21 @@ def main():
         log(f"calibration done ({len(cal.amax)} sites)")
     quantize_pipeline(
         pipe, mode="w8a8", quantize_convs=not args.no_convs, act_scales=cal
+    )
+    # Free the bf16 weight set + calibration executables before the big
+    # w8a8 compile/run: at SDXL 1024² the bf16 UNet (5.1 GB) + int8 copy
+    # + executables brush the 16 GB HBM ceiling (RESOURCE_EXHAUSTED at
+    # the w8a8 warmup, 2026-08-19).
+    import gc
+
+    cal = None
+    gc.collect()
+    jax.clear_caches()
+    live = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+    log(
+        f"live device bytes: {sum(a.nbytes for a in live)/1e9:.2f} GB in "
+        f"{len(live)} arrays; top: "
+        + ", ".join(f"{a.dtype}{list(a.shape)}={a.nbytes/1e6:.0f}MB" for a in live[:6])
     )
     log("quantize transform done; measuring w8a8 e2e")
     w8a8_ms = median_e2e(pipe, kw, args.repeats)

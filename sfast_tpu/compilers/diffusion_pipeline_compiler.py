@@ -231,6 +231,7 @@ class CompiledModel:
                     jax.device_put, new_params, self._param_shardings
                 )
             self.params = new_params
+            self._sync_model_params()
             return
         if self._param_shardings is not None:
             # keep the mesh placement stable across hot-swaps so the
@@ -247,6 +248,19 @@ class CompiledModel:
             self.params = jax.tree_util.tree_map(
                 lambda old, new: jnp.asarray(new, old.dtype), self.params, new_params
             )
+        self._sync_model_params()
+
+    def _sync_model_params(self) -> None:
+        """Point the wrapped model bundle at the swapped params.
+
+        Without this the old tree stays reachable through ``self.model``
+        forever — for a quantized SDXL UNet that silently pins the
+        5.1 GB bf16 PackedParams flat buffer NEXT TO its 2.5 GB int8
+        replacement (measured RESOURCE_EXHAUSTED at the first post-
+        quantize 1024² call on a 16 GB v5e, 2026-08-19; jax.live_arrays
+        showed both buffers resident)."""
+        if hasattr(self.model, "replace_params"):
+            self.model = self.model.replace_params(self.params)
 
     @property
     def cache_size(self) -> int:

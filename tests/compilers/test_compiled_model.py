@@ -44,6 +44,32 @@ def test_hot_swap_no_recompile():
     assert m.cache_size == 1  # LoRA-swap invariant: zero recompiles
 
 
+def test_hot_swap_releases_old_params():
+    """update_params must not leave the OLD tree reachable through the
+    wrapped model bundle: for a quantized SDXL UNet the stale reference
+    pinned the 5.1 GB bf16 PackedParams buffer next to its int8
+    replacement (OOM on a 16 GB v5e, 2026-08-19)."""
+    import weakref
+
+    m = compile_model(_toy_model())
+    old_w = m.params["w"]
+    ref = weakref.ref(old_w)
+    # same-structure swap
+    m.update_params({"w": 3 * jnp.eye(4), "b": jnp.zeros((4,))})
+    assert m.model.params["w"] is m.params["w"]
+    # restructure swap (the quantization path)
+    m.update_params(
+        {"w_q": jnp.eye(4, dtype=jnp.int8), "b": jnp.zeros((4,))},
+        allow_restructure=True,
+    )
+    assert m.model.params is m.params
+    del old_w
+    import gc
+
+    gc.collect()
+    assert ref() is None, "old param array still reachable after swap"
+
+
 def test_hot_swap_structure_mismatch_raises():
     m = compile_model(_toy_model())
     with pytest.raises(ValueError):

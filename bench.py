@@ -122,10 +122,14 @@ def main():
     trace_dir = os.environ.get("SFAST_TPU_BENCH_TRACE")
     if trace_dir:
         # one untimed profiled call of the EXACT scored config, for
-        # analyze_trace.py dissection of the headline program
-        import jax.profiler
+        # analyze_trace.py dissection of the headline program.
+        # NB: the import must NOT happen inside this function — a local
+        # `import jax.profiler` rebinds `jax` as a function-local at
+        # compile time and every earlier `jax.*` use in main() raises
+        # UnboundLocalError (broke the scored bench, 2026-08-19).
+        from jax import profiler as _jax_profiler
 
-        with jax.profiler.trace(trace_dir):
+        with _jax_profiler.trace(trace_dir):
             out = pipe(seed=9, **kw)
             jax.block_until_ready(out.images)
 

@@ -75,11 +75,15 @@ def main():
     if trace_dir:
         # one extra untimed clip under the jax profiler: op-level
         # attribution for the SVD loop (VERDICT r4 weak #5)
-        import jax.profiler
+        # `from ... import` (not `import jax.profiler`): a plain import
+        # here would rebind `jax` function-local and break any other
+        # jax.* use in main() with UnboundLocalError (bit bench.py).
+        from jax import profiler as _jax_profiler
+        import jax as _jax
 
-        with jax.profiler.trace(trace_dir):
+        with _jax_profiler.trace(trace_dir):
             _, out = timed(STEPS, 3)
-            jax.block_until_ready(out.images)
+            _jax.block_until_ready(out.images)
 
     if os.environ.get("SVD_TRACKED", "0") == "1":
         # tracked-config mode (VERDICT r2 task #8 / r3 next-step #4): ONE

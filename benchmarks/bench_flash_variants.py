@@ -44,7 +44,12 @@ REPS = 5
 
 SK = SHAPE[2]
 VARIANTS = {
+    # "base" now resolves through the block_k=None auto rule (whole-kv
+    # ×2 staged at sk=4096); "old-default" pins the pre-auto (1024,1024)
+    # blocks so the staged-kv win stays auditable against the actual
+    # round-4 shipped configuration.
     "base": dict(dimsem=False),
+    "old-default(1024,1024)": dict(dimsem=False, block_k=1024),
 } if SK == 4096 else {
     # non-4096 kv (e.g. SVD 9216): the auto rule falls back to
     # (1024,1024).  First sweep (2026-08-19) tried whole/half-kv blocks

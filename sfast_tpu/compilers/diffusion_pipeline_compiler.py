@@ -266,6 +266,10 @@ class CompiledModel:
     def cache_size(self) -> int:
         return self._call.cache_size
 
+    def clear_cache(self) -> None:
+        """Drop every cached executable (program-changing env flip)."""
+        self._call.clear_cache()
+
 
 def compile_model(model, config=None, name=None) -> CompiledModel:
     """Compile one submodel bundle (generic entry, used by all of the

@@ -163,20 +163,7 @@ def stack_iso_decoder(params):
     dec = dict(params["decoder"])
     new_blocks = []
     for blk in dec["up_blocks"]:
-        resnets = blk["resnets"]
-        sigs = [L.tree_shape_sig(r) for r in resnets]
-        segments = []
-        j = 0
-        while j < len(resnets):
-            k = j + 1
-            while k < len(resnets) and sigs[k] == sigs[j]:
-                k += 1
-            if k - j >= 2:
-                segments.append({"scan": L.tree_stack(resnets[j:k])})
-            else:
-                segments.append({"one": resnets[j]})
-            j = k
-        nblk = {"segments": segments}
+        nblk = {"segments": L.segment_iso_runs(blk["resnets"])}
         if "upsample" in blk:
             nblk["upsample"] = blk["upsample"]
         new_blocks.append(nblk)

@@ -241,6 +241,29 @@ def tree_shape_sig(tree):
     return (treedef, tuple((l.shape, jnp.result_type(l).name) for l in leaves))
 
 
+def segment_iso_runs(items):
+    """Partition a block list into maximal runs of identical shape
+    signature: runs of ≥2 become ``{"scan": stacked}`` (one scan body →
+    one codegen site), singles stay ``{"one": item}``.  The single
+    grouping rule behind both ``unet_2d_condition.stack_iso_blocks`` and
+    ``autoencoder_kl.stack_iso_decoder`` — their consumers promise the
+    same unrolled-vs-stacked numerics, so the partition must not be able
+    to diverge between them."""
+    sigs = [tree_shape_sig(x) for x in items]
+    segments = []
+    j = 0
+    while j < len(items):
+        k = j + 1
+        while k < len(items) and sigs[k] == sigs[j]:
+            k += 1
+        if k - j >= 2:
+            segments.append({"scan": tree_stack(items[j:k])})
+        else:
+            segments.append({"one": items[j]})
+        j = k
+    return segments
+
+
 # ---------------------------------------------------------------------------
 # Timestep embeddings (diffusers Timesteps + TimestepEmbedding)
 # ---------------------------------------------------------------------------
@@ -316,6 +339,22 @@ def guidance_scale_embedding(
     if dim % 2 == 1:
         emb = jnp.pad(emb, [(0, 0), (0, 1)])
     return emb.astype(dtype)
+
+
+def lcm_timestep_cond(guidance_scale, tcond_dim, batch: int):
+    """The LCM ``timestep_cond`` input, or None without a cond_proj.
+
+    One canonical site for the w-embedding convention (w = gs − 1 per
+    the LCM paper, broadcast to the UNet batch): the fused-loop,
+    fused-full and stepwise paths of BOTH SD and SDXL pipelines consume
+    it, and they promise bit-identical latents — a convention change
+    must not be able to diverge between them."""
+    if tcond_dim is None:
+        return None
+    return jnp.broadcast_to(
+        guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
+        (batch, tcond_dim),
+    )
 
 
 # ---------------------------------------------------------------------------

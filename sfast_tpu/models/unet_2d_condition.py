@@ -296,19 +296,7 @@ def stack_iso_blocks(params):
                 if attns is not None:
                     pair["attention"] = _stack_depth(attns[j])
                 pairs.append(pair)
-            sigs = [L.tree_shape_sig(p) for p in pairs]
-            segments = []
-            j = 0
-            while j < len(pairs):
-                k = j + 1
-                while k < len(pairs) and sigs[k] == sigs[j]:
-                    k += 1
-                if k - j >= 2:
-                    segments.append({"scan": L.tree_stack(pairs[j:k])})
-                else:
-                    segments.append({"one": pairs[j]})
-                j = k
-            nblk = {"segments": segments}
+            nblk = {"segments": L.segment_iso_runs(pairs)}
             for extra in ("downsample", "upsample"):
                 if extra in blk:
                     nblk[extra] = blk[extra]

@@ -462,8 +462,12 @@ def flash_attention(
     out_dtype = q.dtype
     if block_k is None:
         if sk == 4096 and d <= 64:
-            # measured fast point (see block_k docstring above)
-            block_k, kv_stages = 4096, 2
+            # measured fast point (see block_k docstring above); an
+            # explicit caller kv_stages (≠ the 1 default) is respected —
+            # the auto rule only fills the default
+            block_k = 4096
+            if kv_stages == 1:
+                kv_stages = 2
         else:
             block_k = 1024
 

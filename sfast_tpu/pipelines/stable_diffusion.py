@@ -132,16 +132,25 @@ class StableDiffusionPipeline:
             self._fused_loops = {}
             self._sched_states = {}
             self._sched_obj = self.scheduler
-        # SFAST_TPU_STACK_ISO changes the traced program (weight-stacked
-        # scan vs unrolled blocks, models/unet_2d_condition.py
-        # maybe_stack_iso) but not the fused-loop cache keys — flipping
-        # it mid-process must invalidate, or the stale executable would
-        # silently ignore the flag (same bug class as ADVICE r4 #1)
+        # SFAST_TPU_STACK_ISO / _VAE change the traced program
+        # (weight-stacked scan vs unrolled blocks,
+        # models/unet_2d_condition.maybe_stack_iso and
+        # autoencoder_kl.vae_decode_fwd) but not the in-process cache
+        # keys — flipping either mid-process must invalidate, or the
+        # stale executable would silently ignore the flag (same bug
+        # class as ADVICE r4 #1).  Also clears the per-model executable
+        # caches: the stepwise path hits pipe.unet/vae directly.
         import os
 
-        stack_env = os.environ.get("SFAST_TPU_STACK_ISO", "0")
+        stack_env = (
+            os.environ.get("SFAST_TPU_STACK_ISO", "0"),
+            os.environ.get("SFAST_TPU_STACK_ISO_VAE", "0"),
+        )
         if getattr(self, "_stack_iso_env", stack_env) != stack_env:
             self._fused_loops = {}
+            for m in (self.unet, self.vae):
+                if hasattr(m, "clear_cache"):
+                    m.clear_cache()
         self._stack_iso_env = stack_env
 
     def _scheduler_state(self, num_steps: int):
@@ -398,16 +407,11 @@ class StableDiffusionPipeline:
                 from sfast_tpu.models.controlnet import controlnet_cond_embed
 
                 ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl)
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(
-                        guidance_scale - 1.0, tcond_dim
-                    ),
-                    (latents.shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(
+                guidance_scale, tcond_dim, latents.shape[0]
+            )
 
             def body(i, carry):
                 lat, st, key = carry
@@ -573,16 +577,9 @@ class StableDiffusionPipeline:
                 # pixel-res hint conv stack on a loop-invariant input:
                 # once per call, not once per step
                 ctrl_embed = controlnet_cond_embed(cn_cfg, cn_params_u, ctrl_in)
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(
-                        guidance_scale - 1.0, tcond_dim
-                    ),
-                    (lat_shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(guidance_scale, tcond_dim, lat_shape[0])
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, lat_shape, jnp.float32)
@@ -929,14 +926,9 @@ class StableDiffusionPipeline:
             )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(gs - 1.0, tcond_dim),
-                    (latents.shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(gs, tcond_dim, latents.shape[0])
             for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
                 eps = self._unet_eps(

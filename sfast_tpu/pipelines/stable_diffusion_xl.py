@@ -142,14 +142,11 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         ):
             params = maybe_stack_iso(maybe_unpack(params))  # hoist out of the loop body
             added = {"text_embeds": text_embeds, "time_ids": time_ids}
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
-                    (latents.shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(
+                guidance_scale, tcond_dim, latents.shape[0]
+            )
 
             def body(i, carry):
                 lat, st, key = carry
@@ -265,14 +262,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                     ),
                     "time_ids": time_ids,
                 }
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(guidance_scale - 1.0, tcond_dim),
-                    (lat_shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(guidance_scale, tcond_dim, lat_shape[0])
             unet_params_u = maybe_stack_iso(maybe_unpack(unet_params))  # hoist above the loop
             key = jax.random.key(seed_arr[0])
             key, sub = jax.random.split(key)
@@ -510,14 +502,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             )
         else:
             needs_noise = getattr(self.scheduler, "needs_noise", False)
-            tcond = None
-            if tcond_dim is not None:
-                from sfast_tpu.models.layers import guidance_scale_embedding
+            from sfast_tpu.models.layers import lcm_timestep_cond
 
-                tcond = jnp.broadcast_to(
-                    guidance_scale_embedding(gs - 1.0, tcond_dim),
-                    (latents.shape[0], tcond_dim),
-                )
+            tcond = lcm_timestep_cond(gs, tcond_dim, latents.shape[0])
             for i in range(start_index, num_inference_steps):
                 t = state["timesteps"][i]
                 lat_in = (

@@ -90,6 +90,13 @@ def preprocess_mask_image(mask, lh: int, lw: int) -> jnp.ndarray:
         arr = arr.astype(np.float32) / 255.0
     else:
         arr = arr.astype(np.float32)
+    if arr.shape[-1] == 4:
+        # RGBA: alpha is opacity, NOT repaint signal — an opaque
+        # (alpha=255) black-and-white mask PNG would otherwise max() to
+        # all-ones and silently repaint everything (degrading inpaint to
+        # plain img2img).  Drop alpha; diffusers likewise converts the
+        # mask to grayscale ("L") before thresholding.
+        arr = arr[..., :3]
     arr = arr.max(axis=-1, keepdims=True)
     b, h, w, _ = arr.shape
     ys = (np.arange(lh) * h) // lh

@@ -188,16 +188,32 @@ def test_env_gate_via_fused_pipeline(monkeypatch):
         guidance_scale=7.5,
         output_type="np",
     )
+    # count real re-traces: a stale executable reused after the env flip
+    # would produce bit-identical output and an unchanged cache length,
+    # so neither alone can detect a missing invalidation
+    builds = []
+    orig_build = type(pipe)._build_fused_pipeline
+
+    def counting_build(self, *a, **k):
+        builds.append(1)
+        return orig_build(self, *a, **k)
+
+    monkeypatch.setattr(type(pipe), "_build_fused_pipeline", counting_build)
+
     monkeypatch.setenv("SFAST_TPU_STACK_ISO", "0")
     plain = np.asarray(pipe(**kw).images)
-    n_loops = len(pipe._fused_loops)
+    n_builds = len(builds)
+    assert n_builds >= 1
     monkeypatch.setenv("SFAST_TPU_STACK_ISO", "1")
     stacked = np.asarray(pipe(**kw).images)
-    # cache was invalidated and re-traced under the flag
-    assert len(pipe._fused_loops) <= n_loops
+    # the flip must invalidate the fused cache and re-trace under the flag
+    assert len(builds) == n_builds + 1, "env flip did not re-trace"
     assert plain.dtype == stacked.dtype == np.uint8
     # same math, different program structure: allow 1 uint8 rounding flip
     assert np.abs(plain.astype(int) - stacked.astype(int)).max() <= 1
+    # repeat call under the same flag must NOT re-trace again
+    np.asarray(pipe(**kw).images)
+    assert len(builds) == n_builds + 1
 
 
 def test_vae_decoder_stacked_matches_unrolled(monkeypatch):

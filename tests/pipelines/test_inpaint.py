@@ -64,6 +64,14 @@ def test_mask_preprocess_orientation_and_shape():
         preprocess_mask_image(mask[..., None].astype(np.float32) / 255.0, 4, 4)
     )
     np.testing.assert_array_equal(keep, keep_f)
+    # RGBA: opaque alpha must NOT count as repaint signal (a B/W mask
+    # PNG loads as RGBA with alpha=255 everywhere; treating alpha as a
+    # channel silently repainted the whole image)
+    rgba = np.zeros((32, 32, 4), np.uint8)
+    rgba[:, 16:, :3] = 255
+    rgba[..., 3] = 255  # fully opaque
+    keep_rgba = np.asarray(preprocess_mask_image(rgba, 4, 4))
+    np.testing.assert_array_equal(keep, keep_rgba)
 
 
 def test_all_repaint_mask_equals_img2img():

@@ -175,12 +175,17 @@ def bench_controlnet(steps=30, size=512, repeats=3, trace_dir=None):
             "its_per_s": round(steps / (med / 1e3), 2)}
 
 
-def bench_map(steps=50, size=512, n=6):
+def bench_map(steps=50, size=512, n=6, lcm=False):
     """Sustained serving throughput: ``pipe.map()`` (window=2 pipelined
     D2H overlap) vs sequential ``pipe()`` calls on the headline config.
     The reference serves sequentially; map() exists to overlap the
     ~94 ms/call of tunnel fixed cost (fetch + RTT) with the next image's
-    compute — this measures whether it actually does."""
+    compute — this measures whether it actually does.
+
+    ``lcm=True`` runs the tracked LCM configuration instead (LCM
+    scheduler, guidance 1.0 → no-CFG fast path): the fixed host tail is
+    a ~2/3 of a 4-step image's latency, so this is where windowed
+    serving pays the most."""
     from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
     from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
     from sfast_tpu.models.clip_text import (
@@ -188,7 +193,7 @@ def bench_map(steps=50, size=512, n=6):
         create_text_encoder,
         init_clip_text_params,
     )
-    from sfast_tpu.schedulers import DPMSolverMultistepScheduler
+    from sfast_tpu.schedulers import DPMSolverMultistepScheduler, LCMScheduler
     from sfast_tpu.pipelines import StableDiffusionPipeline
 
     dec, enc = create_vae(SD_VAE, params=zeros_on_device(lambda: init_vae_params(0, SD_VAE)))
@@ -199,12 +204,12 @@ def bench_map(steps=50, size=512, n=6):
             SD15_TEXT_ENCODER,
             params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
         ),
-        scheduler=DPMSolverMultistepScheduler(),
+        scheduler=LCMScheduler() if lcm else DPMSolverMultistepScheduler(),
     )
     sfast_tpu.compile(pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True))
     ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
     kw = dict(height=size, width=size, num_inference_steps=steps,
-              guidance_scale=7.5)
+              guidance_scale=1.0 if lcm else 7.5)
     pipe(prompt_ids=ids, seed=0, **kw)  # warm
     prompts = [ids] * n
     t0 = time.time()
@@ -216,7 +221,8 @@ def bench_map(steps=50, size=512, n=6):
     imgs = [out.images for out in pipe.map(prompts, window=2, seed=0, **kw)]
     map_ms = (time.time() - t0) * 1e3 / n
     assert len(imgs) == n and imgs[0].shape[1] == size
-    return {"metric": f"sd15_map_{steps}step_ms_per_image", "value": round(map_ms, 1),
+    name = f"sd15_{'lcm' if lcm else ''}map_{steps}step_ms_per_image"
+    return {"metric": name, "value": round(map_ms, 1),
             "unit": "ms", "sequential_ms_per_image": round(seq_ms, 1),
             "overlap_win_ms": round(seq_ms - map_ms, 1),
             "images_per_min": round(60e3 / map_ms, 2), "n": n}
@@ -224,7 +230,9 @@ def bench_map(steps=50, size=512, n=6):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["lcm", "sdxl", "controlnet", "map"])
+    ap.add_argument(
+        "config", choices=["lcm", "sdxl", "controlnet", "map", "lcm-map"]
+    )
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--trace", default=None, help="jax profiler trace dir")
     args = ap.parse_args()
@@ -234,5 +242,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_controlnet(steps=args.steps or 30, trace_dir=args.trace)))
     elif args.config == "map":
         print(json.dumps(bench_map(steps=args.steps or 50)))
+    elif args.config == "lcm-map":
+        print(json.dumps(bench_map(steps=args.steps or 4, lcm=True)))
     else:
         print(json.dumps(bench_sdxl(steps=args.steps or 30, trace_dir=args.trace)))

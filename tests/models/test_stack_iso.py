@@ -28,6 +28,50 @@ from sfast_tpu.models.unet_2d_condition import (
 
 CCFG = CompilationConfig.Default().replace(enable_pallas=False)
 
+
+def test_segment_iso_runs_partition():
+    """The shared grouping rule (models/layers.segment_iso_runs): maximal
+    runs of identical shape signature become one stacked scan segment;
+    singles stay unstacked; order is preserved."""
+    from sfast_tpu.models.layers import segment_iso_runs
+
+    a = {"w": jnp.zeros((4, 4))}
+    b = {"w": jnp.zeros((4, 4))}
+    c = {"w": jnp.zeros((8, 4))}  # different shape: breaks the run
+    d = {"w": jnp.zeros((4, 4), jnp.bfloat16)}  # different dtype: single
+    segs = segment_iso_runs([a, b, c, d])
+    assert [list(s) for s in segs] == [["scan"], ["one"], ["one"]]
+    assert segs[0]["scan"]["w"].shape == (2, 4, 4)  # a,b stacked
+    assert segs[1]["one"]["w"].shape == (8, 4)
+    assert segs[2]["one"]["w"].dtype == jnp.bfloat16
+    # all-identical: one scan over everything
+    segs = segment_iso_runs([a, b, a])
+    assert len(segs) == 1 and segs[0]["scan"]["w"].shape == (3, 4, 4)
+    # no two alike: no scan segments at all
+    segs = segment_iso_runs([a, c])
+    assert [list(s) for s in segs] == [["one"], ["one"]]
+
+
+def test_lcm_timestep_cond_helper():
+    """lcm_timestep_cond: None without a cond_proj dim; otherwise the
+    w-embedding of (gs − 1) broadcast to the batch — the single site all
+    six pipeline paths share."""
+    from sfast_tpu.models.layers import (
+        guidance_scale_embedding,
+        lcm_timestep_cond,
+    )
+
+    assert lcm_timestep_cond(7.5, None, 2) is None
+    t = lcm_timestep_cond(8.0, 32, 3)
+    assert t.shape == (3, 32)
+    np.testing.assert_allclose(
+        np.asarray(t[0]),
+        np.asarray(guidance_scale_embedding(7.0, 32)[0]),
+        rtol=0,
+        atol=0,
+    )
+    np.testing.assert_array_equal(np.asarray(t[0]), np.asarray(t[2]))
+
 # layers_per_block=2 so iso runs actually exist: both level-0 down pairs
 # (32->32) scan, and the first two resnets of each up block scan
 DEEP_UNET = dataclasses.replace(TINY_UNET, layers_per_block=2)

@@ -171,30 +171,27 @@ class StableVideoDiffusionPipeline:
         emb = out.get("image_embeds", out["pooler_output"])
         return emb[:, None, :]
 
-    def __call__(
+    def prepare_conditioning(
         self,
         image,
         *,
-        num_frames: Optional[int] = None,
-        height: int = 576,
-        width: int = 1024,
-        num_inference_steps: int = 25,
-        min_guidance_scale: float = 1.0,
-        max_guidance_scale: float = 3.0,
+        num_frames: int,
+        height: int,
+        width: int,
         fps: int = 7,
         motion_bucket_id: int = 127,
         noise_aug_strength: float = 0.02,
-        decode_chunk_size: Optional[int] = None,
-        seed: int = 0,
-        output_type: str = "np",
-    ) -> PipelineOutput:
-        self._sched_guard()
-        ucfg = self.unet_config
-        vcfg = self.vae_config
-        num_frames = num_frames or ucfg.num_frames
-        decode_chunk_size = decode_chunk_size or num_frames
-        key = jax.random.key(seed)
-
+        key=None,
+    ):
+        """Build the UNet's loop-invariant conditioning exactly as
+        ``__call__`` does: CLIP image embedding with the CFG
+        zero-embedding row, noise-augmented conditioning latents repeated
+        per frame (uncond branch zeroed), and the (fps, motion, aug)
+        micro-ids.  Shared with :func:`sfast_tpu.quant.calibrate_svd_pipeline`
+        so calibration measures the same activation distribution the
+        pipeline serves.  Returns ``(context, cond_latents, add_ids, key)``."""
+        if key is None:
+            key = jax.random.key(0)
         img = preprocess_image(image, self.dtype)
         img = _resize_bilinear(img.astype(jnp.float32), height, width).astype(
             self.dtype
@@ -223,6 +220,41 @@ class StableVideoDiffusionPipeline:
             [[fps - 1, motion_bucket_id, noise_aug_strength]], jnp.float32
         )
         add_ids = jnp.tile(add_ids, (2 * b, 1))
+        return context, cond_latents, add_ids, key
+
+    def __call__(
+        self,
+        image,
+        *,
+        num_frames: Optional[int] = None,
+        height: int = 576,
+        width: int = 1024,
+        num_inference_steps: int = 25,
+        min_guidance_scale: float = 1.0,
+        max_guidance_scale: float = 3.0,
+        fps: int = 7,
+        motion_bucket_id: int = 127,
+        noise_aug_strength: float = 0.02,
+        decode_chunk_size: Optional[int] = None,
+        seed: int = 0,
+        output_type: str = "np",
+    ) -> PipelineOutput:
+        self._sched_guard()
+        ucfg = self.unet_config
+        vcfg = self.vae_config
+        num_frames = num_frames or ucfg.num_frames
+        decode_chunk_size = decode_chunk_size or num_frames
+        context, cond_latents, add_ids, key = self.prepare_conditioning(
+            image,
+            num_frames=num_frames,
+            height=height,
+            width=width,
+            fps=fps,
+            motion_bucket_id=motion_bucket_id,
+            noise_aug_strength=noise_aug_strength,
+            key=jax.random.key(seed),
+        )
+        b = context.shape[0] // 2
 
         # 4. latents
         sf = 2 ** (len(vcfg.block_out_channels) - 1)

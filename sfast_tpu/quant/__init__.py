@@ -1,4 +1,8 @@
-from sfast_tpu.quant.calibrate import Calibration, calibrate_pipeline
+from sfast_tpu.quant.calibrate import (
+    Calibration,
+    calibrate_pipeline,
+    calibrate_svd_pipeline,
+)
 from sfast_tpu.quant.dynamic_quant import (
     quantize_conv_params,
     quantize_linear_params,
@@ -8,6 +12,7 @@ from sfast_tpu.quant.dynamic_quant import (
 __all__ = [
     "Calibration",
     "calibrate_pipeline",
+    "calibrate_svd_pipeline",
     "quantize_linear_params",
     "quantize_conv_params",
     "quantize_pipeline",

@@ -227,3 +227,85 @@ def calibrate_pipeline(
         )
 
     return calibrate_forward(apply_fn, tree, inputs, run_params=run_params)
+
+
+def calibrate_svd_pipeline(
+    pipe,
+    image,
+    *,
+    num_frames: Optional[int] = None,
+    height: int = 576,
+    width: int = 1024,
+    num_inference_steps: int = 25,
+    step_indices: Sequence[int] = (0, 8, 16, 24),
+    fps: int = 7,
+    motion_bucket_id: int = 127,
+    noise_aug_strength: float = 0.02,
+    seed: int = 0,
+) -> Calibration:
+    """Calibrate the SVD UNet's activation ranges with the pipeline's own
+    conditioning (CLIP image embedding, noise-augmented cond latents,
+    micro-ids — built by ``pipe.prepare_conditioning``, the same code
+    ``__call__`` runs) and EDM-scaled latents at several step indices.
+
+    Approximation note (same as :func:`calibrate_pipeline`): latents are
+    synthesized per-index at the EDM noise scale ``sigma_i`` rather than
+    produced by the real trajectory — after ``scale_model_input`` their
+    magnitude matches the serving distribution (~unit), which is what
+    per-tensor ranges need."""
+    from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
+    from sfast_tpu.runtime.packed_params import PackedParams
+
+    unet = pipe.unet
+    model = unet.model if isinstance(unet, CompiledModel) else unet
+    params = unet.params
+    if isinstance(params, PackedParams):
+        tree, run_params = placeholder_tree(params), params
+    else:
+        tree, run_params = params, params
+    apply_fn = model.apply_fn(pipe._ccfg)
+
+    ucfg = pipe.unet_config
+    vcfg = pipe.vae_config
+    num_frames = num_frames or ucfg.num_frames
+
+    key = jax.random.key(seed)
+    context, cond_latents, add_ids, key = pipe.prepare_conditioning(
+        image,
+        num_frames=num_frames,
+        height=height,
+        width=width,
+        fps=fps,
+        motion_bucket_id=motion_bucket_id,
+        noise_aug_strength=noise_aug_strength,
+        key=key,
+    )
+    b = context.shape[0] // 2
+
+    sf = 2 ** (len(vcfg.block_out_channels) - 1)
+    lh, lw = height // sf, width // sf
+    state = pipe.scheduler.set_timesteps(num_inference_steps)
+
+    inputs = []
+    for i in step_indices:
+        i = int(i)
+        if not 0 <= i < num_inference_steps:
+            raise ValueError(
+                f"step index {i} outside [0, {num_inference_steps})"
+            )
+        key, sub = jax.random.split(key)
+        lat = jax.random.normal(
+            sub, (b, num_frames, lh, lw, vcfg.latent_channels), jnp.float32
+        )
+        lat = (lat * state["sigmas"][i]).astype(pipe.dtype)
+        # mirror the denoise-loop body: CFG double batch, EDM input
+        # scaling, channel-concat of the conditioning latents
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = pipe.scheduler.scale_model_input(state, lat_in, i)
+        lat_in = jnp.concatenate(
+            [lat_in, cond_latents.astype(lat_in.dtype)], axis=-1
+        )
+        tt = jnp.broadcast_to(state["timesteps"][i], (lat_in.shape[0],))
+        inputs.append((lat_in, tt, context, add_ids))
+
+    return calibrate_forward(apply_fn, tree, inputs, run_params=run_params)

@@ -377,6 +377,66 @@ def test_sdxl_calibrated_static_w8a8_end_to_end():
     assert rel < 0.25, rel
 
 
+def test_svd_calibrated_static_w8a8_end_to_end():
+    """SVD calibration drives the spatio-temporal UNet with the
+    pipeline's own conditioning (prepare_conditioning) and EDM-scaled
+    latents; the quantized pipeline must stay on the bf16 trajectory.
+    Covers the video path of quantize_pipeline (spatial resnet convs +
+    attention/FF linears int8; 5-D temporal convs stay full-precision)."""
+    from sfast_tpu.models.autoencoder_kl_temporal import (
+        TINY_TEMPORAL_VAE,
+        create_temporal_vae,
+    )
+    from sfast_tpu.models.clip_vision import (
+        TINY_IMAGE_ENCODER,
+        create_image_encoder,
+    )
+    from sfast_tpu.models.unet_spatio_temporal import (
+        TINY_SVD_UNET,
+        create_svd_unet,
+    )
+    from sfast_tpu.pipelines.stable_video_diffusion import (
+        StableVideoDiffusionPipeline,
+    )
+    from sfast_tpu.quant import calibrate_svd_pipeline, quantize_pipeline
+
+    dec, enc = create_temporal_vae(TINY_TEMPORAL_VAE, jax.random.key(0))
+    pipe = StableVideoDiffusionPipeline(
+        unet=create_svd_unet(TINY_SVD_UNET, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        image_encoder=create_image_encoder(TINY_IMAGE_ENCODER, jax.random.key(2)),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    img = np.random.RandomState(0).randint(0, 255, (1, 32, 32, 3), np.uint8)
+    kw = dict(
+        num_frames=4, height=32, width=32, num_inference_steps=3, seed=0,
+        output_type="latent",
+    )
+    ref = np.asarray(pipe(img, **kw).images, np.float32)
+
+    cal = calibrate_svd_pipeline(
+        pipe, img, height=32, width=32, num_frames=4,
+        num_inference_steps=3, step_indices=(0, 2),
+    )
+    assert len(cal.amax) > 10, len(cal.amax)
+    assert all(v > 0 for v in cal.amax.values())
+
+    quantize_pipeline(pipe, mode="w8a8", quantize_convs=True, act_scales=cal)
+    tree_str = str(jax.tree_util.tree_structure(pipe.unet.params))
+    assert "a_scale" in tree_str
+    leaves = jax.tree_util.tree_leaves(pipe.unet.params)
+    assert any(l.dtype == jnp.int8 for l in leaves)
+    # 5-D temporal conv weights must NOT be quantized (conv2d_w8a8 is 4-D)
+    assert all(l.ndim != 5 or l.dtype != jnp.int8 for l in leaves)
+
+    got = np.asarray(pipe(img, **kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.25, rel
+
+
 def test_calibration_isolated_from_concurrent_traces():
     """The calibration sink is thread-local: tracing activity in another
     thread (e.g. pipe.warmup(background=True)) must not pollute the

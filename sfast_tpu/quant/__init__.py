@@ -1,5 +1,6 @@
 from sfast_tpu.quant.calibrate import (
     Calibration,
+    calibrate_controlnet_pipeline,
     calibrate_pipeline,
     calibrate_svd_pipeline,
 )
@@ -11,6 +12,7 @@ from sfast_tpu.quant.dynamic_quant import (
 
 __all__ = [
     "Calibration",
+    "calibrate_controlnet_pipeline",
     "calibrate_pipeline",
     "calibrate_svd_pipeline",
     "quantize_linear_params",

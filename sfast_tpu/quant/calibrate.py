@@ -229,6 +229,101 @@ def calibrate_pipeline(
     return calibrate_forward(apply_fn, tree, inputs, run_params=run_params)
 
 
+def calibrate_controlnet_pipeline(
+    pipe,
+    prompt_ids,
+    control_image,
+    *,
+    height: int = 512,
+    width: int = 512,
+    timesteps: Sequence[int] = (999, 700, 400, 100),
+    conditioning_scale: float = 1.0,
+    seed: int = 0,
+) -> Tuple[Calibration, Calibration]:
+    """Calibrate UNet AND ControlNet activation ranges jointly — one
+    traced step evaluates the ControlNet and feeds its residuals to the
+    UNet, exactly like the fused denoise loop
+    (``pipelines/stable_diffusion.py:_unet_eps``), so the UNet sees the
+    residual-shifted activation distribution it will serve with.
+
+    Returns ``(unet_cal, controlnet_cal)`` — pass them to
+    ``quantize_pipeline(act_scales=unet_cal,
+    controlnet_act_scales=controlnet_cal, quantize_controlnet=True)``."""
+    from sfast_tpu.compilers.diffusion_pipeline_compiler import CompiledModel
+    from sfast_tpu.runtime.packed_params import PackedParams
+
+    if pipe.controlnet is None:
+        raise ValueError("pipeline has no controlnet model")
+
+    def split(bundle):
+        model = bundle.model if isinstance(bundle, CompiledModel) else bundle
+        params = bundle.params
+        if isinstance(params, PackedParams):
+            return model, placeholder_tree(params), params
+        return model, params, params
+
+    unet_model, unet_tree, unet_run = split(pipe.unet)
+    cn_model, cn_tree, cn_run = split(pipe.controlnet)
+    unet_apply = unet_model.apply_fn(pipe._ccfg)
+    cn_apply = cn_model.apply_fn(pipe._ccfg)
+
+    def joint(params, lat_in, tt, context, ctrl):
+        down, mid = cn_apply(
+            params["controlnet"], lat_in, tt, context, ctrl,
+            conditioning_scale=conditioning_scale,
+        )
+        return unet_apply(
+            params["unet"], lat_in, tt, context,
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid,
+        )
+
+    context = pipe.encode_prompt(prompt_ids)
+    b2 = context.shape[0]
+    sf = pipe.vae_scale_factor
+    lat_c = pipe.vae_config.latent_channels
+    shape = (b2, height // sf, width // sf, lat_c)
+    state = pipe.scheduler.set_timesteps(50)
+    init_sigma = (
+        state["init_noise_sigma"]
+        if "init_noise_sigma" in state
+        else getattr(pipe.scheduler, "init_noise_sigma", 1.0)
+    )
+
+    from sfast_tpu.utils.image import preprocess_control_image
+
+    # caller provides the hint at (height, width) pixel resolution, like
+    # __call__; CFG-double to match the batched latents
+    ctrl = preprocess_control_image(control_image, pipe.dtype)
+    if ctrl.shape[1] != height or ctrl.shape[2] != width:
+        raise ValueError(
+            f"control image {ctrl.shape[1]}x{ctrl.shape[2]} does not match "
+            f"requested {height}x{width}"
+        )
+    if ctrl.shape[0] != b2:
+        ctrl = jnp.tile(ctrl, (b2 // ctrl.shape[0], 1, 1, 1))
+
+    key = jax.random.key(seed)
+    inputs = []
+    for i, t in enumerate(timesteps):
+        key, sub = jax.random.split(key)
+        scale = 1.0 + (float(init_sigma) - 1.0) * (i == 0)
+        lat = scale * jax.random.normal(sub, shape, jnp.float32)
+        tt = jnp.broadcast_to(jnp.asarray(float(t), jnp.float32), (b2,))
+        inputs.append((lat.astype(pipe.dtype), tt, context, ctrl))
+
+    tree = {"unet": unet_tree, "controlnet": cn_tree}
+    run_params = {"unet": unet_run, "controlnet": cn_run}
+    cal = calibrate_forward(joint, tree, inputs, run_params=run_params)
+    unet_amax = {
+        k[1:]: v for k, v in cal.amax.items() if k and k[0] == "unet"
+    }
+    cn_amax = {
+        k[1:]: v for k, v in cal.amax.items() if k and k[0] == "controlnet"
+    }
+    return Calibration(amax=unet_amax), Calibration(amax=cn_amax)
+
+
 def calibrate_svd_pipeline(
     pipe,
     image,

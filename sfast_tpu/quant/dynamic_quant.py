@@ -87,6 +87,8 @@ def quantize_pipeline(
     mode: str = "w8a16",
     quantize_convs: bool = False,
     act_scales=None,  # quant.calibrate.Calibration (static-scale W8A8)
+    quantize_controlnet: bool = False,
+    controlnet_act_scales=None,
 ):
     """One-call pipeline quantization — the UX analog of the reference's
     ``torch.quantization.quantize_dynamic(m.unet, {nn.Linear}, qint8)``
@@ -98,7 +100,14 @@ def quantize_pipeline(
     structure change (w → w_q/w_q8) keys a fresh executable.  Passing
     ``act_scales`` from :func:`sfast_tpu.quant.calibrate_pipeline`
     selects the static-scale variant (the dynamic one is a measured
-    end-to-end loss on v5e — see ``quant/calibrate.py``).  Returns the
+    end-to-end loss on v5e — see ``quant/calibrate.py``).
+
+    ``quantize_controlnet=True`` applies the same transform to
+    ``pipe.controlnet`` (its trunk is the UNet encoder — same key
+    layout; the 1×1 zero-conv projections and the hoisted
+    cond-embedding stack stay full precision by target selection), with
+    ``controlnet_act_scales`` from
+    :func:`sfast_tpu.quant.calibrate_controlnet_pipeline`.  Returns the
     pipeline."""
     import jax
 
@@ -106,30 +115,35 @@ def quantize_pipeline(
 
     if quantize_convs and mode != "w8a8":
         raise ValueError("quantize_convs requires mode='w8a8'")
+    if quantize_controlnet and getattr(pipe, "controlnet", None) is None:
+        raise ValueError("quantize_controlnet=True but pipeline has no controlnet")
 
-    unet = pipe.unet
-    params = unet.params
-    packed = isinstance(params, PackedParams)
+    def apply_to(bundle, scales):
+        params = bundle.params
 
-    def transform(tree):
-        tree = quantize_linear_params(tree, mode=mode, act_scales=act_scales)
-        if quantize_convs:
-            tree = quantize_conv_params(tree, act_scales=act_scales)
-        return tree
+        def transform(tree):
+            tree = quantize_linear_params(tree, mode=mode, act_scales=scales)
+            if quantize_convs:
+                tree = quantize_conv_params(tree, act_scales=scales)
+            return tree
 
-    if packed:
-        # ONE executable: unpack → quantize every site → repack.  The
-        # eager per-leaf version (~700 tiny ops) took >1 h over a
-        # tunneled device; this is one compile + one dispatch.
-        new_params = jax.jit(lambda pp: pack_tree(transform(pp.unpack())))(
-            params
-        )
-    else:
-        new_params = transform(params)
-    if hasattr(unet, "update_params"):
-        unet.update_params(new_params, allow_restructure=True)
-    else:
-        pipe.unet = unet.replace_params(new_params)
+        if isinstance(params, PackedParams):
+            # ONE executable: unpack → quantize every site → repack.  The
+            # eager per-leaf version (~700 tiny ops) took >1 h over a
+            # tunneled device; this is one compile + one dispatch.
+            new_params = jax.jit(
+                lambda pp: pack_tree(transform(pp.unpack()))
+            )(params)
+        else:
+            new_params = transform(params)
+        if hasattr(bundle, "update_params"):
+            bundle.update_params(new_params, allow_restructure=True)
+            return bundle
+        return bundle.replace_params(new_params)
+
+    pipe.unet = apply_to(pipe.unet, act_scales)
+    if quantize_controlnet:
+        pipe.controlnet = apply_to(pipe.controlnet, controlnet_act_scales)
     return pipe
 
 

@@ -437,6 +437,76 @@ def test_svd_calibrated_static_w8a8_end_to_end():
     assert rel < 0.25, rel
 
 
+def test_controlnet_calibrated_w8a8_end_to_end():
+    """Joint UNet+ControlNet calibration feeds the ControlNet residuals
+    into the UNet during the amax pass (the served distribution), the
+    amax dict splits cleanly by model prefix, and the fully-quantized
+    (UNet + CN trunk) pipeline stays on the bf16 trajectory.  Zero-conv
+    projections and the cond-embedding stack must remain full precision."""
+    from tests.models.test_controlnet import TINY_CN
+    from sfast_tpu.models.controlnet import create_controlnet
+    from sfast_tpu.models.autoencoder_kl import TINY_TEST_VAE, create_vae
+    from sfast_tpu.models.clip_text import TINY_TEXT_ENCODER, create_text_encoder
+    from sfast_tpu.pipelines import StableDiffusionPipeline
+    from sfast_tpu.quant import calibrate_controlnet_pipeline, quantize_pipeline
+    from sfast_tpu.schedulers import DDIMScheduler
+
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    cn = create_controlnet(TINY_CN, jax.random.key(3))
+    # make the projections nonzero so the CN branch actually shapes the
+    # trajectory (fresh ControlNet outputs exact zeros by design)
+    cn.params["controlnet_mid_block"]["w"] = (
+        jnp.ones_like(cn.params["controlnet_mid_block"]["w"]) * 0.02
+    )
+    for zc in cn.params["controlnet_down_blocks"]:
+        zc["w"] = jnp.ones_like(zc["w"]) * 0.02
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(TINY_CN.unet, jax.random.key(1)),
+        vae=dec, vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        controlnet=cn,
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    ids = jnp.ones((1, 77), jnp.int32)
+    cond = np.random.RandomState(0).randint(0, 255, (1, 32, 32, 3), np.uint8)
+    kw = dict(prompt_ids=ids, height=32, width=32, num_inference_steps=3,
+              seed=0, control_image=cond, output_type="latent")
+    ref = np.asarray(pipe(**kw).images, np.float32)
+
+    cal_u, cal_cn = calibrate_controlnet_pipeline(
+        pipe, ids, cond, height=32, width=32, timesteps=(999, 400)
+    )
+    assert len(cal_u.amax) > 10 and len(cal_cn.amax) > 5
+    # prefixes were stripped: keys are model-relative tree paths
+    assert all(k[0] in ("down_blocks", "mid_block", "up_blocks", "conv_in",
+                        "conv_out", "time_embedding", "add_embedding",
+                        "controlnet_cond_embedding", "controlnet_down_blocks",
+                        "controlnet_mid_block")
+               for cal in (cal_u, cal_cn) for k in cal.amax)
+
+    quantize_pipeline(
+        pipe, mode="w8a8", quantize_convs=True, act_scales=cal_u,
+        quantize_controlnet=True, controlnet_act_scales=cal_cn,
+    )
+    cn_leaves_with_path = jax.tree_util.tree_flatten_with_path(
+        pipe.controlnet.params
+    )[0]
+    assert any(l.dtype == jnp.int8 for _, l in cn_leaves_with_path)
+    for path, leaf in cn_leaves_with_path:
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "controlnet_down_blocks" in keys or "controlnet_mid_block" in keys:
+            assert leaf.dtype != jnp.int8, path  # projections stay fp
+        if "controlnet_cond_embedding" in keys:
+            assert leaf.dtype != jnp.int8, path
+
+    got = np.asarray(pipe(**kw).images, np.float32)
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert rel < 0.25, rel
+
+
 def test_calibration_isolated_from_concurrent_traces():
     """The calibration sink is thread-local: tracing activity in another
     thread (e.g. pipe.warmup(background=True)) must not pollute the

@@ -160,6 +160,22 @@ def main():
     half_ms = sorted(half_times)[len(half_times) // 2]
     step_ms = max(e2e_ms - half_ms, 1e-6) / (STEPS - STEPS // 2)
     unet_its = 1e3 / step_ms
+
+    # sustained serving on the SAME scored config: pipe.map(window=2)
+    # overlaps each image's fixed host tail (D2H fetch + dispatch RTT,
+    # ~94 ms/image through the tunnel) with the next image's device
+    # compute — the deployment-shaped number (detail-only; the scored
+    # metric above stays the single-call e2e).  Reuses the already-
+    # compiled 50-step executable, so it costs ~SERVE_N extra seconds.
+    serve_n = int(os.environ.get("SFAST_TPU_BENCH_SERVE_N", "5"))
+    sustained_ms = None
+    if serve_n > 0:
+        t0 = time.time()
+        for out in pipe.map([prompt_ids] * serve_n, window=2, **{
+            k: v for k, v in kw.items() if k != "prompt_ids"
+        }):
+            assert out.images.shape == (1, 512, 512, 3)
+        sustained_ms = (time.time() - t0) * 1e3 / serve_n
     result = {
         "metric": "sd15_512_bs1_dpmpp50_e2e_ms",
         "value": round(e2e_ms, 1),
@@ -182,6 +198,10 @@ def main():
                     "half_steps_e2e_ms": round(half_ms, 1),
                     "half_all_runs_ms": [round(t, 1) for t in half_times],
                     "native_sig": native_sig,
+                    "sustained_serving_ms_per_image": (
+                        round(sustained_ms, 1) if sustained_ms else None
+                    ),
+                    "sustained_serving_n": serve_n,
                     "device": str(jax.devices()[0]),
                 }
             }

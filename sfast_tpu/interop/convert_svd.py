@@ -57,12 +57,26 @@ def _conv3d(sd, key, dt):
     }
 
 
+def _conv3d_as2d(sd, key, dt):
+    """Conv3d(3,1,1) weights → the 4-D (3, 1, C_in, C_out) storage the
+    temporal resnets use (``unet_spatio_temporal._conv_temporal2d``):
+    the kernel is spatially 1×1, so dropping the two singleton axes is a
+    pure reshape of (kT, kH, kW, C_in, C_out) = (3, 1, 1, C, C)."""
+    w = torch_to_jnp(
+        sd[key + ".weight"].permute(2, 3, 4, 1, 0).contiguous(), dt
+    )
+    return {
+        "w": w.reshape(w.shape[0], 1, w.shape[-2], w.shape[-1]),
+        "b": vec(sd, key + ".bias", dt),
+    }
+
+
 def _temporal_resnet(sd, pre, dt):
     p = {
         "norm1": _norm(sd, pre + "norm1"),
-        "conv1": _conv3d(sd, pre + "conv1", dt),
+        "conv1": _conv3d_as2d(sd, pre + "conv1", dt),
         "norm2": _norm(sd, pre + "norm2"),
-        "conv2": _conv3d(sd, pre + "conv2", dt),
+        "conv2": _conv3d_as2d(sd, pre + "conv2", dt),
     }
     if pre + "time_emb_proj.weight" in sd:
         p["time_emb_proj"] = _lin(sd, pre + "time_emb_proj", dt)

@@ -69,11 +69,24 @@ def _put_conv3d(sd, key, p):
     sd[key + ".bias"] = _t(p["b"])
 
 
+def _put_conv2d_as3d(sd, key, p):
+    """4-D (kT, 1, C_in, C_out) temporal-conv storage
+    (``unet_spatio_temporal._conv_temporal2d``) → torch Conv3d
+    OIDHW (C_out, C_in, kT, 1, 1): un-drop the singleton kW axis."""
+    w = _t(p["w"])  # (kT, 1, Cin, Cout)
+    sd[key + ".weight"] = (
+        w.reshape(w.shape[0], 1, 1, w.shape[2], w.shape[3])
+        .permute(4, 3, 0, 1, 2)
+        .contiguous()
+    )
+    sd[key + ".bias"] = _t(p["b"])
+
+
 def _put_temporal_resnet(sd, pre, p):
     _put_norm(sd, pre + "norm1", p["norm1"])
-    _put_conv3d(sd, pre + "conv1", p["conv1"])
+    _put_conv2d_as3d(sd, pre + "conv1", p["conv1"])
     _put_norm(sd, pre + "norm2", p["norm2"])
-    _put_conv3d(sd, pre + "conv2", p["conv2"])
+    _put_conv2d_as3d(sd, pre + "conv2", p["conv2"])
     if "time_emb_proj" in p:
         _put_lin(sd, pre + "time_emb_proj", p["time_emb_proj"])
 

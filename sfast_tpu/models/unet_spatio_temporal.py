@@ -98,15 +98,21 @@ TINY_SVD_UNET = SVDUNetConfig(
 
 
 def _init_temporal_resnet(gen, c: int, temb_dim: Optional[int], dtype):
+    # temporal convs are stored as 4-D (3, 1, C, C) kernels applied over
+    # a folded (F, H·W) plane — mathematically identical to diffusers'
+    # Conv3d(3,1,1) (the kernel is spatially 1×1, so frames convolve
+    # independently of pixels), and it routes them through
+    # ``layers.apply_conv``: the W8A8 transform (4-D sites) and the bf16
+    # output-buffer default apply to the video loop's temporal convs too.
     p = {
         "norm1": L.init_norm(c),
         "conv1": {
-            "w": L._randn(gen, (3, 1, 1, c, c), dtype, 1.0 / (3 * c) ** 0.5),
+            "w": L._randn(gen, (3, 1, c, c), dtype, 1.0 / (3 * c) ** 0.5),
             "b": jnp.zeros((c,), dtype),
         },
         "norm2": L.init_norm(c),
         "conv2": {
-            "w": L._randn(gen, (3, 1, 1, c, c), dtype, 1.0 / (3 * c) ** 0.5),
+            "w": L._randn(gen, (3, 1, c, c), dtype, 1.0 / (3 * c) ** 0.5),
             "b": jnp.zeros((c,), dtype),
         },
     }
@@ -116,7 +122,10 @@ def _init_temporal_resnet(gen, c: int, temb_dim: Optional[int], dtype):
 
 
 def _conv_temporal(x5, w, b):
-    """x5: (B, F, H, W, C); w: (3,1,1,C,C) — conv over the frame axis."""
+    """x5: (B, F, H, W, C); w: (3,1,1,C,C) — conv over the frame axis.
+    Kept for the temporal VAE's 5-D ``time_conv_out``
+    (autoencoder_kl_temporal.py); the SVD UNet's temporal resnets use
+    the quantizable 4-D form (:func:`_conv_temporal2d`)."""
     y = jax.lax.conv_general_dilated(
         x5,
         w,
@@ -126,6 +135,17 @@ def _conv_temporal(x5, w, b):
         preferred_element_type=jnp.float32,
     )
     return (y + b.astype(jnp.float32)).astype(x5.dtype)
+
+
+def _conv_temporal2d(p, x5):
+    """Frame-axis conv via the 2-D conv stack: fold pixels into one axis
+    ((B, F, H·W, C)), convolve with the (3, 1, C, C) kernel, unfold.
+    Goes through ``apply_conv`` so int8 (W8A8) weights are picked up."""
+    b, f, hh, ww, c = x5.shape
+    y = L.apply_conv(
+        p, x5.reshape(b, f, hh * ww, c), padding=[(1, 1), (0, 0)]
+    )
+    return y.reshape(b, f, hh, ww, y.shape[-1])
 
 
 def _gn_over_frames(x5, norm_p, *, groups, gn_backend):
@@ -146,7 +166,7 @@ def _gn_over_frames(x5, norm_p, *, groups, gn_backend):
 def _temporal_resnet_fwd(p, x5, temb=None, *, groups, gn_backend):
     b, f, hh, ww, c = x5.shape
     h = _gn_over_frames(x5, p["norm1"], groups=groups, gn_backend=gn_backend)
-    h = _conv_temporal(h, p["conv1"]["w"], p["conv1"]["b"])
+    h = _conv_temporal2d(p["conv1"], h)
     if temb is not None and "time_emb_proj" in p:
         te = L.apply_linear(
             p["time_emb_proj"],
@@ -154,7 +174,7 @@ def _temporal_resnet_fwd(p, x5, temb=None, *, groups, gn_backend):
         )  # (B*F, C)
         h = h + te.reshape(b, f, 1, 1, c).astype(h.dtype)
     h = _gn_over_frames(h, p["norm2"], groups=groups, gn_backend=gn_backend)
-    h = _conv_temporal(h, p["conv2"]["w"], p["conv2"]["b"])
+    h = _conv_temporal2d(p["conv2"], h)
     return x5 + h
 
 

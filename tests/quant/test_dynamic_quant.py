@@ -381,8 +381,8 @@ def test_svd_calibrated_static_w8a8_end_to_end():
     """SVD calibration drives the spatio-temporal UNet with the
     pipeline's own conditioning (prepare_conditioning) and EDM-scaled
     latents; the quantized pipeline must stay on the bf16 trajectory.
-    Covers the video path of quantize_pipeline (spatial resnet convs +
-    attention/FF linears int8; 5-D temporal convs stay full-precision)."""
+    Covers the video path of quantize_pipeline: spatial resnet convs,
+    attention/FF linears AND the (3,1,C,C) temporal convs go int8."""
     from sfast_tpu.models.autoencoder_kl_temporal import (
         TINY_TEMPORAL_VAE,
         create_temporal_vae,
@@ -428,8 +428,16 @@ def test_svd_calibrated_static_w8a8_end_to_end():
     assert "a_scale" in tree_str
     leaves = jax.tree_util.tree_leaves(pipe.unet.params)
     assert any(l.dtype == jnp.int8 for l in leaves)
-    # 5-D temporal conv weights must NOT be quantized (conv2d_w8a8 is 4-D)
-    assert all(l.ndim != 5 or l.dtype != jnp.int8 for l in leaves)
+    # the 4-D temporal convs are quantizable sites now — at least one
+    # ("temporal", "conv1"/"conv2") path must carry int8 weights
+    flat = jax.tree_util.tree_flatten_with_path(pipe.unet.params)[0]
+    temporal_q = [
+        path
+        for path, leaf in flat
+        if leaf.dtype == jnp.int8
+        and any(getattr(k, "key", None) == "temporal" for k in path)
+    ]
+    assert temporal_q, "no temporal conv was quantized"
 
     got = np.asarray(pipe(img, **kw).images, np.float32)
     assert np.isfinite(got).all()

@@ -175,7 +175,7 @@ def bench_controlnet(steps=30, size=512, repeats=3, trace_dir=None):
             "its_per_s": round(steps / (med / 1e3), 2)}
 
 
-def bench_map(steps=50, size=512, n=6, lcm=False):
+def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False):
     """Sustained serving throughput: ``pipe.map()`` (window=2 pipelined
     D2H overlap) vs sequential ``pipe()`` calls on the headline config.
     The reference serves sequentially; map() exists to overlap the
@@ -185,7 +185,13 @@ def bench_map(steps=50, size=512, n=6, lcm=False):
     ``lcm=True`` runs the tracked LCM configuration instead (LCM
     scheduler, guidance 1.0 → no-CFG fast path): the fixed host tail is
     a ~2/3 of a 4-step image's latency, so this is where windowed
-    serving pays the most."""
+    serving pays the most.
+
+    ``controlnet=True`` runs the tracked ControlNet 30-step config:
+    its trace (STATUS 2026-08-19) shows ~128 ms/image of fixed
+    tunnel/fetch cost — the largest overlappable pool of any image
+    config, so windowed serving should close a bigger share of its
+    41.1 it/s reference gap than any kernel left in the loop."""
     from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
     from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
     from sfast_tpu.models.clip_text import (
@@ -196,6 +202,18 @@ def bench_map(steps=50, size=512, n=6, lcm=False):
     from sfast_tpu.schedulers import DPMSolverMultistepScheduler, LCMScheduler
     from sfast_tpu.pipelines import StableDiffusionPipeline
 
+    cn = None
+    if controlnet:
+        from sfast_tpu.models.controlnet import (
+            SD15_CONTROLNET,
+            create_controlnet,
+            init_controlnet_params,
+        )
+
+        cn = create_controlnet(
+            SD15_CONTROLNET,
+            params=zeros_on_device(lambda: init_controlnet_params(3, SD15_CONTROLNET)),
+        )
     dec, enc = create_vae(SD_VAE, params=zeros_on_device(lambda: init_vae_params(0, SD_VAE)))
     pipe = StableDiffusionPipeline(
         unet=create_unet(SD15_UNET, params=zeros_on_device(lambda: init_unet_params(1, SD15_UNET))),
@@ -204,12 +222,17 @@ def bench_map(steps=50, size=512, n=6, lcm=False):
             SD15_TEXT_ENCODER,
             params=zeros_on_device(lambda: init_clip_text_params(2, SD15_TEXT_ENCODER)),
         ),
+        controlnet=cn,
         scheduler=LCMScheduler() if lcm else DPMSolverMultistepScheduler(),
     )
     sfast_tpu.compile(pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True))
     ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
     kw = dict(height=size, width=size, num_inference_steps=steps,
               guidance_scale=1.0 if lcm else 7.5)
+    if controlnet:
+        import numpy as np
+
+        kw["control_image"] = np.zeros((1, size, size, 3), np.uint8)
     pipe(prompt_ids=ids, seed=0, **kw)  # warm
     prompts = [ids] * n
     t0 = time.time()
@@ -221,17 +244,22 @@ def bench_map(steps=50, size=512, n=6, lcm=False):
     imgs = [out.images for out in pipe.map(prompts, window=2, seed=0, **kw)]
     map_ms = (time.time() - t0) * 1e3 / n
     assert len(imgs) == n and imgs[0].shape[1] == size
-    name = f"sd15_{'lcm' if lcm else ''}map_{steps}step_ms_per_image"
-    return {"metric": name, "value": round(map_ms, 1),
-            "unit": "ms", "sequential_ms_per_image": round(seq_ms, 1),
-            "overlap_win_ms": round(seq_ms - map_ms, 1),
-            "images_per_min": round(60e3 / map_ms, 2), "n": n}
+    tag = "lcm" if lcm else ("cn" if controlnet else "")
+    name = f"sd15_{tag}map_{steps}step_ms_per_image"
+    out = {"metric": name, "value": round(map_ms, 1),
+           "unit": "ms", "sequential_ms_per_image": round(seq_ms, 1),
+           "overlap_win_ms": round(seq_ms - map_ms, 1),
+           "images_per_min": round(60e3 / map_ms, 2), "n": n}
+    if controlnet:
+        out["its_per_s_sustained"] = round(steps / (map_ms / 1e3), 2)
+    return out
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "config", choices=["lcm", "sdxl", "controlnet", "map", "lcm-map"]
+        "config",
+        choices=["lcm", "sdxl", "controlnet", "map", "lcm-map", "cn-map"],
     )
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--trace", default=None, help="jax profiler trace dir")
@@ -244,5 +272,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_map(steps=args.steps or 50)))
     elif args.config == "lcm-map":
         print(json.dumps(bench_map(steps=args.steps or 4, lcm=True)))
+    elif args.config == "cn-map":
+        print(json.dumps(bench_map(steps=args.steps or 30, controlnet=True)))
     else:
         print(json.dumps(bench_sdxl(steps=args.steps or 30, trace_dir=args.trace)))

@@ -308,3 +308,39 @@ def test_warmup_after_quantize_serves_quantized_structure():
                seed=0).images
     assert img.shape == (1, 32, 32, 3)
     assert fp.cache_size == n  # warmed executable reused, no recompile
+
+
+def test_map_through_controlnet_path_matches_sequential():
+    """map() (windowed serving) forwards kwargs to __call__, so the
+    ControlNet branch must serve through it unchanged — the sustained
+    ControlNet serving bench (benchmarks/bench_extra_configs.py cn-map)
+    relies on exactly this path."""
+    from sfast_tpu.models.controlnet import ControlNetConfig, create_controlnet
+
+    cfg_u = dataclasses.replace(TINY_UNET, cross_attention_dim=64)
+    dec, enc = create_vae(TINY_TEST_VAE, jax.random.key(0))
+    pipe = StableDiffusionPipeline(
+        unet=create_unet(cfg_u, jax.random.key(1)),
+        vae=dec,
+        vae_encode=enc,
+        text_encoder=create_text_encoder(TINY_TEXT_ENCODER, jax.random.key(2)),
+        controlnet=create_controlnet(
+            ControlNetConfig(
+                unet=cfg_u, conditioning_embedding_out_channels=(16, 32)
+            ),
+            jax.random.key(3),
+        ),
+        scheduler=DDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    sfast_tpu.compile(pipe, CCFG)
+    control = np.zeros((1, 32, 32, 3), np.uint8)
+    control[:, 8:12, 8:12] = 255
+    ids = [jnp.full((1, 77), i + 1, jnp.int32) for i in range(3)]
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=5,
+              control_image=control)
+    seq = [pipe(prompt_ids=i, **kw).images for i in ids]
+    piped = [o.images for o in pipe.map(ids, window=2, **kw)]
+    assert len(piped) == len(seq)
+    for a, b in zip(seq, piped):
+        np.testing.assert_array_equal(a, b)

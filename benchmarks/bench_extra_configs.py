@@ -175,7 +175,7 @@ def bench_controlnet(steps=30, size=512, repeats=3, trace_dir=None):
             "its_per_s": round(steps / (med / 1e3), 2)}
 
 
-def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False):
+def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False, batch=1):
     """Sustained serving throughput: ``pipe.map()`` (window=2 pipelined
     D2H overlap) vs sequential ``pipe()`` calls on the headline config.
     The reference serves sequentially; map() exists to overlap the
@@ -191,7 +191,13 @@ def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False):
     its trace (STATUS 2026-08-19) shows ~128 ms/image of fixed
     tunnel/fetch cost — the largest overlappable pool of any image
     config, so windowed serving should close a bigger share of its
-    41.1 it/s reference gap than any kernel left in the loop."""
+    41.1 it/s reference gap than any kernel left in the loop.
+
+    ``batch > 1`` serves ``batch`` prompts per call (per-image numbers
+    divide by it): the MXU amortizes weight reads across the batch, so
+    on the partially bandwidth-bound SD1.5 config bs2 should cost well
+    under 2× bs1 — throughput the reference's bs1-sequential story
+    never taps."""
     from sfast_tpu.models.unet_2d_condition import SD15_UNET, create_unet, init_unet_params
     from sfast_tpu.models.autoencoder_kl import SD_VAE, create_vae, init_vae_params
     from sfast_tpu.models.clip_text import (
@@ -226,7 +232,9 @@ def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False):
         scheduler=LCMScheduler() if lcm else DPMSolverMultistepScheduler(),
     )
     sfast_tpu.compile(pipe, CompilationConfig.Default().replace(fuse_denoising_loop=True))
-    ids = jax.random.randint(jax.random.key(0), (1, 77), 0, 49408, dtype=jnp.int32)
+    ids = jax.random.randint(
+        jax.random.key(0), (batch, 77), 0, 49408, dtype=jnp.int32
+    )
     kw = dict(height=size, width=size, num_inference_steps=steps,
               guidance_scale=1.0 if lcm else 7.5)
     if controlnet:
@@ -239,17 +247,19 @@ def bench_map(steps=50, size=512, n=6, lcm=False, controlnet=False):
     for i in range(n):
         out = pipe(prompt_ids=ids, seed=i, **kw)
         assert out.images.shape[1] == size
-    seq_ms = (time.time() - t0) * 1e3 / n
+    seq_ms = (time.time() - t0) * 1e3 / (n * batch)
     t0 = time.time()
     imgs = [out.images for out in pipe.map(prompts, window=2, seed=0, **kw)]
-    map_ms = (time.time() - t0) * 1e3 / n
-    assert len(imgs) == n and imgs[0].shape[1] == size
+    map_ms = (time.time() - t0) * 1e3 / (n * batch)
+    assert len(imgs) == n and imgs[0].shape == (batch, size, size, 3)
     tag = "lcm" if lcm else ("cn" if controlnet else "")
-    name = f"sd15_{tag}map_{steps}step_ms_per_image"
+    bs = f"_bs{batch}" if batch > 1 else ""
+    name = f"sd15_{tag}map_{steps}step{bs}_ms_per_image"
     out = {"metric": name, "value": round(map_ms, 1),
            "unit": "ms", "sequential_ms_per_image": round(seq_ms, 1),
            "overlap_win_ms": round(seq_ms - map_ms, 1),
-           "images_per_min": round(60e3 / map_ms, 2), "n": n}
+           "images_per_min": round(60e3 / map_ms, 2), "n": n,
+           "batch": batch}
     if controlnet:
         out["its_per_s_sustained"] = round(steps / (map_ms / 1e3), 2)
     return out
@@ -262,6 +272,8 @@ if __name__ == "__main__":
         choices=["lcm", "sdxl", "controlnet", "map", "lcm-map", "cn-map"],
     )
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="prompts per call for the map configs")
     ap.add_argument("--trace", default=None, help="jax profiler trace dir")
     args = ap.parse_args()
     if args.config == "lcm":
